@@ -1,0 +1,136 @@
+"""Linear blend skinning in pure JAX, engineered for the TPU MXU.
+
+Capability parity with the reference's LBS math
+(`human_body_prior/body_model/lbs.py:34-119` and the smplx package's `lbs`),
+re-designed TPU-first:
+
+- All heavy ops are batched matmuls that XLA tiles onto the MXU:
+  * shape blend:  [B, S] @ [S, V*3]
+  * pose blend:   [B, 9(J-1)] @ [9(J-1), V*3]
+  * joint regress:[B*3, V] @ [V, J] (via einsum)
+  * skinning:     [B, V, J] @ [B, J, 16] — the dominant FLOPs
+- The kinematic-chain accumulation (a sequential loop over 22-55 joints in
+  the reference, lbs.py:245-251) is a `lax.scan` over the topologically
+  ordered joints; its cost is negligible next to skinning.
+- Everything is differentiable and vmap/jit friendly; no data-dependent
+  shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lemo_tpu.ops.rotations import aa_to_matrot
+
+
+def blend_shapes(betas: jnp.ndarray, shape_dirs_flat: jnp.ndarray) -> jnp.ndarray:
+    """betas [B, S] x shape_dirs_flat [S, V*3] -> [B, V, 3].
+
+    The reference stores shapedirs as [V, 3, S] and einsums
+    ('bl,mkl->bmk', lbs.py:162); we pre-flatten to [S, V*3] once at load
+    time so this is a single MXU matmul.
+    """
+    B = betas.shape[0]
+    out = betas @ shape_dirs_flat  # [B, V*3]
+    return out.reshape(B, -1, 3)
+
+
+def vertices2joints(J_regressor: jnp.ndarray, vertices: jnp.ndarray) -> jnp.ndarray:
+    """J_regressor [J, V] x vertices [B, V, 3] -> joints [B, J, 3]
+    (reference lbs.py:122-139)."""
+    return jnp.einsum("bvk,jv->bjk", vertices, J_regressor)
+
+
+def rigid_transform_chain(
+    rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compose per-joint local transforms along the kinematic tree.
+
+    rot_mats [B, J, 3, 3], joints (rest pose) [B, J, 3], parents [J] int
+    (parents[0] is the root and ignored). Returns (posed_joints [B, J, 3],
+    rel_transforms [B, J, 4, 4]) exactly as the reference
+    `batch_rigid_transform` (lbs.py:208-263).
+
+    The chain walk is a lax.scan over joints 1..J-1. `parents` must be a
+    static numpy array (it is model topology, not data) so gather indices
+    are compile-time constants — parents[i] < i holds for all SMPL-family
+    models (topological order).
+    """
+    B, J = joints.shape[0], joints.shape[1]
+    rel_joints = joints.at[:, 1:].add(-joints[:, parents[1:]])
+
+    # local homogeneous transforms [B, J, 4, 4]
+    top = jnp.concatenate([rot_mats, rel_joints[..., None]], axis=-1)  # [B,J,3,4]
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], rot_mats.dtype), (B, J, 1, 4)
+    )
+    local_T = jnp.concatenate([top, bottom], axis=2)
+
+    # Chain walk unrolled over joints (J <= 55 tiny matmuls): parents is
+    # static topology, so every gather index constant-folds and XLA can
+    # schedule the 4x4 composes freely between the big matmuls.
+    carry = jnp.zeros((B, J, 4, 4), rot_mats.dtype).at[:, 0].set(local_T[:, 0])
+    for i in range(1, J):
+        parent_T = carry[:, int(parents[i])]
+        carry = carry.at[:, i].set(jnp.matmul(parent_T, local_T[:, i]))
+    transforms = carry  # [B, J, 4, 4]
+
+    posed_joints = transforms[:, :, :3, 3]
+
+    # subtract the rest-pose joint positions rotated into each bone frame
+    joints_h = jnp.concatenate(
+        [joints, jnp.zeros((B, J, 1), joints.dtype)], axis=2
+    )  # [B, J, 4]
+    init_bone = jnp.einsum("bjmn,bjn->bjm", transforms, joints_h)  # [B, J, 4]
+    rel = transforms.at[:, :, :, 3].add(-init_bone)
+    # restore the homogeneous 1 in the corner (init_bone[..., 3] == 0 since
+    # joints_h has w=0, so only translation columns changed — corner intact)
+    return posed_joints, rel
+
+
+def lbs(
+    shape_components: jnp.ndarray,  # [B, S] betas (+expression/dmpls)
+    pose: jnp.ndarray,  # [B, (J)*3] axis-angle incl. root
+    v_template: jnp.ndarray,  # [V, 3]
+    shapedirs_flat: jnp.ndarray,  # [S, V*3]
+    posedirs: jnp.ndarray | None,  # [9*(J-1), V*3] or None
+    J_regressor: jnp.ndarray,  # [J, V]
+    parents,  # [J] static numpy ints
+    lbs_weights: jnp.ndarray,  # [V, J]
+    *,
+    pose2rot: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full LBS forward. Returns (vertices [B, V, 3], joints [B, J, 3]).
+
+    Faithful to reference lbs.py:34-119, with matmuls arranged for the MXU.
+    """
+    B = shape_components.shape[0]
+    V = v_template.shape[0]
+
+    v_shaped = v_template[None] + blend_shapes(shape_components, shapedirs_flat)
+    J = vertices2joints(J_regressor, v_shaped)  # [B, J, 3]
+
+    if pose2rot:
+        rot_mats = aa_to_matrot(pose.reshape(B, -1, 3))  # [B, J, 3, 3]
+    else:
+        rot_mats = pose.reshape(B, -1, 3, 3)
+
+    if posedirs is not None:
+        ident = jnp.eye(3, dtype=rot_mats.dtype)
+        pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # [B, 9(J-1)]
+        pose_offsets = (pose_feature @ posedirs).reshape(B, V, 3)
+        v_posed = v_shaped + pose_offsets
+    else:
+        v_posed = v_shaped
+
+    posed_joints, A = rigid_transform_chain(rot_mats, J, parents)
+
+    # skinning: T = W @ A  ([B, V, J] @ [B, J, 16]) — dominant matmul
+    num_joints = J_regressor.shape[0]
+    W = jnp.broadcast_to(lbs_weights[None], (B, V, num_joints))
+    T = jnp.matmul(W, A.reshape(B, num_joints, 16)).reshape(B, V, 4, 4)
+
+    v_h = jnp.concatenate([v_posed, jnp.ones((B, V, 1), v_posed.dtype)], axis=2)
+    verts = jnp.einsum("bvmn,bvn->bvm", T, v_h)[..., :3]
+    return verts, posed_joints
