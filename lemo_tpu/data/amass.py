@@ -1,0 +1,211 @@
+"""AMASS mocap plumbing: sequence scan, fps resampling, clip chunking, and
+batched on-device body-representation building.
+
+Capability parity with the three reference loaders
+(loader/train_loader_smooth.py, train_loader_infill.py,
+optimize_loader_amass_new.py), redesigned TPU-first:
+
+- the file scan / resample / chunk stage is host-side numpy (IO bound);
+- the SMPL-X forward that turns each clip's parameters into markers — the
+  preprocessing hot loop the reference runs clip-by-clip on GPU
+  (train_loader_smooth.py:100-176) — is a single jitted, batched forward
+  over [B*T] frames here, optionally sharded across devices;
+- the representation transforms are the jittable functions in
+  :mod:`lemo_tpu.data.repr`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lemo_tpu.body_model import SmplxModel, load_model, make_forward_fn
+from lemo_tpu.data import markers as mk
+from lemo_tpu.data import repr as rep
+from lemo_tpu.data.stats import GlobalStats, Local4ChanStats
+
+AMASS_TRAIN_DATASETS = [
+    "HumanEva", "MPI_HDM05", "MPI_mosh", "Transitions_mocap", "ACCAD",
+    "BMLhandball", "BMLmovi", "BioMotionLab_NTroje", "CMU", "DFaust_67",
+    "Eyes_Japan_Dataset", "MPI_Limits",
+]
+AMASS_TEST_DATASETS = ["TCD_handMocap", "TotalCapture", "SFU"]
+
+_SAMPLE_RATE = {150: 5, 120: 4, 60: 2}  # -> 30 fps (train_loader_smooth.py:39-46)
+
+
+@dataclasses.dataclass
+class Clip:
+    """One fixed-length mocap clip at 30 fps."""
+
+    trans: np.ndarray   # [T, 3]
+    poses: np.ndarray   # [T, 156]
+    betas: np.ndarray   # [16]
+    gender: str
+    src_fps: int
+
+
+def scan_amass(datasets: Iterable[str], amass_dir: str,
+               clip_seconds: int = 4) -> list[Clip]:
+    """Scan ``<amass_dir>/<dataset>/*/*_poses.npz`` and cut non-overlapping
+    clips resampled to 30 fps (divide_clip, train_loader_smooth.py:27-74)."""
+    clips: list[Clip] = []
+    for ds in datasets:
+        for fn in sorted(glob.glob(os.path.join(amass_dir, ds, "*", "*_poses.npz"))):
+            cdata = np.load(fn)
+            fps = int(cdata["mocap_framerate"])
+            if fps not in _SAMPLE_RATE:
+                continue
+            rate = _SAMPLE_RATE[fps]
+            clip_len = clip_seconds * fps
+            N = len(cdata["poses"])
+            if N < clip_len:
+                continue
+            trans, poses = cdata["trans"], cdata["poses"]
+            betas, gender = cdata["betas"], str(cdata["gender"])
+            for i in range(N // clip_len):
+                sl = slice(clip_len * i, clip_len * (i + 1), rate)
+                clips.append(Clip(
+                    trans=np.asarray(trans[sl], np.float32),
+                    poses=np.asarray(poses[sl], np.float32),
+                    betas=np.asarray(betas, np.float32),
+                    gender=gender,
+                    src_fps=fps,
+                ))
+    return clips
+
+
+def _clip_params(clip: Clip, T: int) -> dict[str, np.ndarray]:
+    return {
+        "transl": clip.trans[:T],
+        "global_orient": clip.poses[:T, 0:3],
+        "body_pose": clip.poses[:T, 3:66],
+        "left_hand_pose": clip.poses[:T, 66:111],
+        "right_hand_pose": clip.poses[:T, 111:156],
+        "betas": np.tile(clip.betas[:10], (T, 1)).astype(np.float32),
+    }
+
+
+class AmassRepresentationBuilder:
+    """Batched marker/joint extraction + representation building.
+
+    Uses a gendered pair of SMPL-X models with ``use_pca=False,
+    flat_hand_mean=True`` — the exact configuration of the reference's
+    preprocessing models (train_loader_smooth.py:86-97).
+    """
+
+    def __init__(self, smplx_model_path_or_dicts, with_hand: bool = False,
+                 markerset_json: str | None = None):
+        if isinstance(smplx_model_path_or_dicts, dict):
+            # {'male': dict, 'female': dict} raw model dicts (tests)
+            self.models = {
+                g: load_model(d, gender=g, use_pca=False, flat_hand_mean=True)
+                for g, d in smplx_model_path_or_dicts.items()
+            }
+        else:
+            self.models = {
+                g: load_model(
+                    os.path.join(smplx_model_path_or_dicts,
+                                 f"SMPLX_{g.upper()}.npz"),
+                    gender=g, use_pca=False, flat_hand_mean=True)
+                for g in ("male", "female")
+            }
+        any_model = next(iter(self.models.values()))
+        self._fwd = jax.jit(make_forward_fn(any_model))
+        self.marker_ids = jnp.asarray(mk.marker_indices(
+            with_hand=with_hand, markerset_json=markerset_json,
+            num_verts=any_model.num_verts))
+        self.with_hand = with_hand
+
+    def markers_and_joints(self, clip: Clip, T: int):
+        """Run the body model over one clip; returns (markers [T, M, 3],
+        joints [T, K, 3]) on device."""
+        model = self.models.get(clip.gender, next(iter(self.models.values())))
+        params = {k: jnp.asarray(v) for k, v in _clip_params(clip, T).items()}
+        # zero-fill remaining smplx params
+        zeros = model.zero_params(T)
+        for k in zeros:
+            params.setdefault(k, zeros[k])
+        out = self._fwd(params, model.consts)
+        markers = out["vertices"][:, self.marker_ids, :]
+        return markers, out["joints"]
+
+    # ------------------------------------------------------------------
+    # representation modes (train_smooth / train_infill / fit loaders)
+    # ------------------------------------------------------------------
+
+    def global_markers(self, clip: Clip, T: int) -> jnp.ndarray:
+        """[T, M*3] frame-0-normalized global marker image
+        (mode='global_markers', train_loader_smooth.py:164-167)."""
+        markers, joints = self.markers_and_joints(clip, T)
+        return rep.global_marker_image(markers, joints[0, :25])
+
+    def local_markers_4chan(self, clip: Clip, T: int,
+                            smooth_forward: bool = True):
+        """([4, T-1, d], rot_0_pivot) infill representation
+        (mode='local_markers_4chan', train_loader_infill.py:125-275)."""
+        markers, joints = self.markers_and_joints(clip, T)
+        joints_n = rep.normalize_to_frame0(joints[:, :25], joints[0, :25])
+        markers_n = rep.normalize_to_frame0(markers, joints[0, :25])
+        contact = rep.contact_labels_from_markers(markers_n)
+        pm = jnp.concatenate([joints_n[:, 0:1], markers_n], axis=1)
+        return rep.local_markers_4chan(pm, contact,
+                                       smooth_forward=smooth_forward)
+
+
+def build_dataset(
+    builder: AmassRepresentationBuilder,
+    clips: list[Clip],
+    mode: str,
+    clip_seconds: int = 4,
+    smooth_forward: bool = True,
+):
+    """Materialize the full clip-image tensor for a clip list.
+
+    Returns (images, aux) where images is [N, T, d] for 'global_markers'
+    or [N, 4, T-1, d] for 'local_markers_4chan'; aux carries rot_0_pivot,
+    betas, gender per clip (the fitting loader's extras,
+    optimize_loader_amass_new.py:371-388).
+    """
+    T = clip_seconds * 30
+    images, pivots, betas, genders = [], [], [], []
+    for clip in clips:
+        if mode == "global_markers":
+            img = builder.global_markers(clip, T)
+            pivot = jnp.zeros(())
+        elif mode == "local_markers_4chan":
+            img, pivot = builder.local_markers_4chan(
+                clip, T, smooth_forward=smooth_forward)
+        else:
+            raise ValueError(mode)
+        images.append(np.asarray(img))
+        pivots.append(float(pivot))
+        betas.append(clip.betas[:10])
+        genders.append(1 if clip.gender == "male" else 0)
+    images = np.stack(images)
+    aux = {
+        "rot_0_pivot": np.asarray(pivots, np.float32),
+        "betas": np.stack(betas).astype(np.float32),
+        "gender": np.asarray(genders, np.int32),
+    }
+    return images, aux
+
+
+def compute_or_load_stats(images: np.ndarray, mode: str, path: str,
+                          split: str = "train"):
+    """Train split: compute + persist; test split: load
+    (train_loader_smooth.py:188-204)."""
+    if split == "train":
+        stats = (GlobalStats if mode == "global_markers"
+                 else Local4ChanStats).compute(images)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        stats.save(path)
+        return stats
+    return (GlobalStats if mode == "global_markers"
+            else Local4ChanStats).load(path)

@@ -1,0 +1,133 @@
+"""Motion-image representation tests.
+
+The strongest check is the decompose -> reconstruct roundtrip: the Holden
+local 4-channel transform and the global-trajectory integrator are inverse
+operations (when forward smoothing is off), so a random global trajectory
+must survive the full cycle. This exercises quaternions, pivots, the scan
+integrator, and the channel layout end-to-end without duplicating the
+implementation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lemo_tpu.data import markers as mk
+from lemo_tpu.data import repr as rep
+
+RNG = np.random.RandomState(5)
+
+
+def _synthetic_global_markers(T=40):
+    """Plausible walking pelvis+markers trajectory, z-up, with the
+    shoulder/hip markers placed so the forward direction is well-defined."""
+    t = np.linspace(0, 2, T)
+    heading = 0.6 * np.sin(0.9 * t) + 0.3 * t
+    pos = np.stack([np.cumsum(np.cos(heading)) * 0.02,
+                    np.cumsum(np.sin(heading)) * 0.02,
+                    0.95 + 0.02 * np.sin(5 * t)], axis=1)  # pelvis [T, 3]
+
+    markers = np.zeros((T, 67, 3))
+    # relative layout in the heading frame
+    base = RNG.randn(67, 3) * 0.25
+    base[:, 2] = np.abs(base[:, 2]) + 0.05
+    base[mk.SDR_L] = [0.20, 0.05, 0.45]
+    base[mk.SDR_R] = [-0.20, 0.05, 0.45]
+    base[mk.HIP_L] = [0.12, 0.0, 0.0]
+    base[mk.HIP_R] = [-0.12, 0.0, 0.0]
+    base[mk.LEFT_HEEL] = [0.10, -0.02, -0.92]
+    base[mk.RIGHT_HEEL] = [-0.10, -0.02, -0.92]
+    base[mk.LEFT_TOE] = [0.11, 0.12, -0.94]
+    base[mk.RIGHT_TOE] = [-0.11, 0.12, -0.94]
+    for i in range(T):
+        c, s = np.cos(heading[i]), np.sin(heading[i])
+        Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        wobble = RNG.randn(67, 3) * 0.002
+        markers[i] = pos[i] + (base + wobble) @ Rz.T
+    return pos, markers
+
+
+class TestContactLabels:
+    def test_matches_direct_computation(self):
+        _, markers = _synthetic_global_markers(30)
+        lbl = np.asarray(rep.contact_labels_from_markers(jnp.asarray(markers, jnp.float32)))
+        assert lbl.shape == (30, 4)
+        # manual check for one slot
+        feet = markers[:, [16, 47, 30, 60], :]
+        vel = np.linalg.norm((feet[1:] - feet[:-1]) * 30.0, axis=-1)
+        zt = markers[:, :, 2].min() + 0.10
+        exp = np.zeros((30, 4))
+        exp[:-1] = (np.abs(vel) < 0.22) * (feet[:-1, :, 2] < zt)
+        exp[-1] = feet[-1, :, 2] < zt
+        np.testing.assert_allclose(lbl, exp, atol=1e-6)
+
+    def test_static_feet_are_in_contact(self):
+        m = np.tile(RNG.randn(1, 67, 3), (10, 1, 1))
+        m[:, :, 2] += 1.0
+        m[:, [16, 47, 30, 60], 2] = m[:, :, 2].min() - 0.05  # feet lowest
+        lbl = np.asarray(rep.contact_labels_from_markers(jnp.asarray(m, jnp.float32)))
+        assert (lbl == 1).all()
+
+
+class TestHoldenRoundtrip:
+    def test_decompose_reconstruct_roundtrip(self):
+        pelvis, markers = _synthetic_global_markers(40)
+        T = 40
+        pm = np.concatenate([pelvis[:, None], markers], axis=1)  # [T, 68, 3]
+        lbl = rep.contact_labels_from_markers(jnp.asarray(markers, jnp.float32))
+        img, rot0 = rep.local_markers_4chan(jnp.asarray(pm, jnp.float32), lbl,
+                                            smooth_forward=False)
+        img = np.asarray(img)
+        assert img.shape == (4, T - 1, 68 * 3 + 4)
+
+        # reassemble the integrator input exactly like the fitters
+        local = img[0][:, :-4].reshape(T - 1, 68, 3)
+        traj = np.stack([img[1][:, 0], img[2][:, 0], img[3][:, 0]], axis=1)
+        body_in = np.concatenate(
+            [np.zeros((T - 1, 1, 3)), local, traj[:, None]], axis=1)
+        rec = np.asarray(rep.reconstruct_global_body(
+            jnp.asarray(body_in, jnp.float32), rot0))  # [T-1, 68, 3]
+
+        expected = pm.copy()
+        expected[:, :, 2] -= pm[:, :, 2].min()  # put-on-floor shift
+        expected[:, :, 0] -= pm[0, 0, 0]  # reconstruction is relative to the
+        expected[:, :, 1] -= pm[0, 0, 1]  # frame-0 pelvis floor projection
+        np.testing.assert_allclose(rec, expected[: T - 1], atol=5e-4)
+
+    def test_channels_broadcast(self):
+        pelvis, markers = _synthetic_global_markers(20)
+        pm = np.concatenate([pelvis[:, None], markers], axis=1)
+        lbl = rep.contact_labels_from_markers(jnp.asarray(markers, jnp.float32))
+        img, _ = rep.local_markers_4chan(jnp.asarray(pm, jnp.float32), lbl)
+        img = np.asarray(img)
+        for c in (1, 2, 3):
+            assert np.allclose(img[c], img[c][:, :1])  # constant across d
+
+
+class TestFrame0:
+    def test_normalized_frame0_faces_y(self):
+        _, markers = _synthetic_global_markers(10)
+        joints0 = np.zeros((25, 3))
+        joints0[0] = [1.0, 2.0, 0.9]
+        joints0[1] = [1.1, 2.0, 0.9]   # left hip
+        joints0[2] = [0.9, 2.1, 0.9]   # right hip
+        out = np.asarray(rep.normalize_to_frame0(
+            jnp.asarray(markers, jnp.float32), jnp.asarray(joints0, jnp.float32)))
+        # pelvis maps to origin
+        p0 = np.asarray(rep.normalize_to_frame0(
+            jnp.asarray(joints0[None, :1].repeat(1, 0), jnp.float32),
+            jnp.asarray(joints0, jnp.float32)))
+        np.testing.assert_allclose(p0[0, 0], np.zeros(3), atol=1e-6)
+        # hip axis maps to +x (z-component preserved up to plane projection)
+        hips = np.asarray(rep.normalize_to_frame0(
+            jnp.asarray(joints0[None, 1:3], jnp.float32),
+            jnp.asarray(joints0, jnp.float32)))[0]
+        d = hips[1] - hips[0]
+        assert abs(d[1]) < 1e-6  # no y-component: row faces +y
+
+    def test_global_marker_image_shape(self):
+        _, markers = _synthetic_global_markers(12)
+        joints0 = np.zeros((25, 3)); joints0[1, 0] = 0.1; joints0[2, 0] = -0.1
+        joints0[2, 1] = 0.05
+        img = rep.global_marker_image(jnp.asarray(markers, jnp.float32),
+                                      jnp.asarray(joints0, jnp.float32))
+        assert img.shape == (12, 67 * 3)
