@@ -1,0 +1,137 @@
+"""AMASS Stage-2 temporal fitting CLI (reference opt_amass_temp.py surface).
+
+Refines Stage-1 results under the learned smoothness prior + contact
+friction; same outputs: body_params_opt_clip_<i>.npy [T, 72] and
+contact_lbl_rec_clip_<i>.npy under <save_dir>/<dataset_name>/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--amass_dir", type=str, required=True)
+    p.add_argument("--body_model_path", type=str, required=True)
+    p.add_argument("--clip_seconds", type=int, default=4)
+    p.add_argument("--body_mode", type=str, default="local_markers_4chan")
+    p.add_argument("--infill_model_path", type=str,
+                   default="runs/59547/AE_last_model.npz")
+    p.add_argument("--conv_k", type=int, default=3)
+    p.add_argument("--smooth_model_path", type=str,
+                   default="/root/reference/runs/15217/Enc_last_model.pkl")
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=100)
+    p.add_argument("--step", type=int, default=20)
+    p.add_argument("--dataset_name", type=str, default="TotalCapture")
+    p.add_argument("--perframe_res_dir", type=str,
+                   default="res_opt_amass_perframe")
+    p.add_argument("--save_dir", type=str, default="res_opt_amass_temp")
+    p.add_argument("--weight_loss_rec_markers", type=float, default=1.0)
+    p.add_argument("--weight_loss_contact_vel", type=float, default=0.03)
+    p.add_argument("--weight_loss_smooth", type=float, default=1e6)
+    p.add_argument("--weight_loss_vposer", type=float, default=0.02)
+    p.add_argument("--weight_loss_shape", type=float, default=0.01)
+    p.add_argument("--weight_loss_hand", type=float, default=0.01)
+    p.add_argument("--num_fit_steps", type=int, default=100)
+    p.add_argument("--stats_path", type=str,
+                   default="preprocess_stats/"
+                           "preprocess_stats_infill_local_markers_4chan.npz")
+    p.add_argument("--smooth_stats_path", type=str,
+                   default="/root/reference/preprocess_stats/"
+                           "preprocess_stats_smooth_withHand_global_markers.npz")
+    p.add_argument("--vposer_ckpt", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from lemo_tpu.body_model import load_model, vposer as vp
+    from lemo_tpu.data import amass
+    from lemo_tpu.data.markers import marker_indices
+    from lemo_tpu.data.segments import foot_vertex_ids
+    from lemo_tpu.data.stats import GlobalStats, Local4ChanStats
+    from lemo_tpu.fitting import amass_perframe as s1
+    from lemo_tpu.fitting import amass_temp as s2
+    from lemo_tpu.fitting import infill as fi
+    from lemo_tpu.priors.conv_ae import load_state_dict_npz, \
+        load_torch_state_dict
+
+    smplx_model_path = os.path.join(args.body_model_path, "smplx_model")
+    if not os.path.isdir(smplx_model_path):
+        smplx_model_path = args.body_model_path
+
+    def load_any(path):
+        return (load_torch_state_dict(path) if path.endswith(".pkl")
+                else load_state_dict_npz(path))
+
+    ae = load_any(args.infill_model_path)
+    enc = load_any(args.smooth_model_path)
+    stats = Local4ChanStats.load(args.stats_path)
+    smooth_stats = GlobalStats.load(args.smooth_stats_path)
+    vposer_params = (load_any(args.vposer_ckpt) if args.vposer_ckpt
+                     else vp.init_vposer(jax.random.PRNGKey(0)))
+
+    builder = amass.AmassRepresentationBuilder(smplx_model_path,
+                                               with_hand=False)
+    clips = amass.scan_amass([args.dataset_name], args.amass_dir,
+                             args.clip_seconds)
+    images, aux = amass.build_dataset(builder, clips, "local_markers_4chan",
+                                      args.clip_seconds, smooth_forward=False)
+    images_n = np.asarray(stats.normalize(jnp.asarray(images)))
+
+    models = {g: load_model(
+        os.path.join(smplx_model_path, f"SMPLX_{g.upper()}.npz"),
+        gender=g, use_pca=True, num_pca_comps=12)
+        for g in ("male", "female")}
+    ids67 = marker_indices(False)
+    ids81 = marker_indices(True)
+    V = next(iter(models.values())).num_verts
+    feet = foot_vertex_ids(V)
+
+    save_folder = os.path.join(args.save_dir, args.dataset_name)
+    os.makedirs(save_folder, exist_ok=True)
+    np.save(os.path.join(save_folder, "gender_list.npy"), aux["gender"])
+
+    weights = s2.Stage2Weights(
+        rec_markers=args.weight_loss_rec_markers,
+        vposer=args.weight_loss_vposer, shape=args.weight_loss_shape,
+        hand=args.weight_loss_hand, smooth=args.weight_loss_smooth,
+        contact_vel=args.weight_loss_contact_vel)
+
+    for i in range(args.start, min(args.end, len(clips)), args.step):
+        init_path = os.path.join(args.perframe_res_dir, args.dataset_name,
+                                 f"body_params_opt_clip_{i}.npy")
+        init72 = np.load(init_path)
+
+        clip_img = jnp.asarray(images_n[i]).swapaxes(1, 2)[None]
+        mask_dT = jnp.asarray(fi.amass_input_mask(clip_img.shape[2],
+                                                  clip_img.shape[3]))
+        rec, _, _ = fi.infill_infer(ae, clip_img, mask_dT,
+                                    finetune_steps=60, finetune_lr=3e-6)
+        contact = fi.contact_labels_from_rec(rec)[0]
+        np.save(os.path.join(save_folder, f"contact_lbl_rec_clip_{i}.npy"),
+                np.asarray(contact))
+        targets = s1.reconstruct_marker_targets(
+            rec[0], clip_img[0], stats, jnp.asarray(aux["rot_0_pivot"][i]))
+
+        model = models["male" if aux["gender"][i] == 1 else "female"]
+        fitted, _ = s2.fit_clip_temporal(
+            model, vposer_params, enc, smooth_stats, ids67, ids81, feet,
+            targets, contact, jnp.asarray(init72),
+            num_steps=args.num_fit_steps, weights=weights)
+        np.save(os.path.join(save_folder, f"body_params_opt_clip_{i}.npy"),
+                np.asarray(fitted))
+        print(f"[clip {i}] refined ({fitted.shape[0]} frames)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""PROX pipeline configuration: YAML file + CLI overrides.
+
+Capability parity with temp_prox/cmd_parser.py:28-434 (configargparse with
+YAMLConfigFileParser): every flag LEMO's shipped configs set is a field
+here with the same name and default; ``--config file.yaml`` loads the
+file, explicit CLI flags override it. The shipped
+cfg_files/PROXD_temp_S{2,3}.yaml parse unchanged (list-valued stage
+weights included).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Any
+
+import yaml
+
+
+@dataclasses.dataclass
+class ProxConfig:
+    # paths
+    recording_dir: str = ""
+    output_folder: str = "fit_results"
+    model_folder: str = ""
+    vposer_ckpt: str = ""
+    part_segm_fn: str = ""
+    # run
+    batch_size: int = 100
+    gender: str = "male"
+    gpu_id: int = 0
+    interactive: bool = False
+    render_results: bool = False
+    save_meshes: bool = False
+    use_cuda: bool = True
+    float_dtype: str = "float32"
+    # model
+    model_type: str = "smplx"
+    use_pca: bool = True
+    num_pca_comps: int = 12
+    flat_hand_mean: bool = False
+    use_hands: bool = True
+    use_face: bool = True
+    use_face_contour: bool = False
+    use_vposer: bool = True
+    # data
+    dataset: str = "openpose"
+    img_folder: str = "Color"
+    depth_folder: str = "Depth"
+    mask_folder: str = "BodyIndex"
+    mask_color_folder: str = "BodyIndexColor"
+    read_depth: bool = True
+    read_mask: bool = True
+    mask_on_color: bool = True
+    flip: bool = True
+    init_mode: str = "scan"
+    joints_to_ign: list = dataclasses.field(default_factory=lambda: [1, 9, 12])
+    use_joints_conf: bool = True
+    # camera
+    camera_mode: str = "fixed"
+    focal_length_x: float = 1060.53
+    focal_length_y: float = 1060.38
+    camera_center_x: float = 951.30
+    camera_center_y: float = 536.77
+    # priors
+    body_prior_type: str = "l2"
+    left_hand_prior_type: str = "l2"
+    right_hand_prior_type: str = "l2"
+    jaw_prior_type: str = "l2"
+    expr_prior_type: str = "l2"
+    num_gaussians: int = 8
+    prior_folder: str = "priors"
+    # optimizer
+    optim_type: str = "adam"
+    lr: float = 0.005
+    maxiters: int = 900
+    ftol: float = 1e-9
+    gtol: float = 1e-9
+    rho: float = 100.0
+    trans_opt_stages: list = dataclasses.field(default_factory=lambda: [0])
+    # staged loss weights (lists = one entry per stage)
+    data_weights: list = dataclasses.field(default_factory=lambda: [1.0])
+    body_pose_prior_weights: list = dataclasses.field(
+        default_factory=lambda: [4.78e-5])
+    hand_pose_prior_weights: list = dataclasses.field(
+        default_factory=lambda: [4.78e-5])
+    jaw_pose_prior_weights: list = dataclasses.field(
+        default_factory=lambda: [0.03])
+    shape_weights: list = dataclasses.field(default_factory=lambda: [0.0])
+    expr_weights: list = dataclasses.field(default_factory=lambda: [0.03])
+    hand_joints_weights: list = dataclasses.field(
+        default_factory=lambda: [2.0])
+    face_joints_weights: list = dataclasses.field(
+        default_factory=lambda: [2.0])
+    # depth term
+    s2m: bool = False
+    m2s: bool = False
+    s2m_weights: list = dataclasses.field(default_factory=lambda: [5e2])
+    m2s_weights: list = dataclasses.field(default_factory=lambda: [1.0])
+    rho_s2m: float = 0.2
+    rho_m2s: float = 0.5
+    # interpenetration
+    interpenetration: bool = False
+    coll_loss_weights: list = dataclasses.field(default_factory=lambda: [1e-5])
+    df_cone_height: float = 0.0001
+    penalize_outside: bool = True
+    max_collisions: int = 128
+    ign_part_pairs: list = dataclasses.field(default_factory=lambda: [
+        "9,16", "9,17", "6,16", "6,17", "1,2", "12,22"])
+    # scene terms
+    sdf_penetration: bool = True
+    sdf_penetration_weights: list = dataclasses.field(
+        default_factory=lambda: [0.003])
+    contact: bool = False
+    load_scene: bool = True
+    contact_loss_weights: list = dataclasses.field(
+        default_factory=lambda: [1.0])
+    contact_body_parts: list = dataclasses.field(default_factory=lambda: [
+        "L_Leg", "R_Leg", "L_Hand", "R_Hand", "gluteus", "back", "thighs"])
+    # smoothness terms
+    smooth_acc: bool = False
+    smooth_acc_weights: list = dataclasses.field(default_factory=lambda: [1e6])
+    smooth_vel: bool = False
+    smooth_vel_weights: list = dataclasses.field(default_factory=lambda: [1e3])
+    use_motion_smooth_prior: bool = True
+    AE_Enc_path: str = ""
+    motion_prior_smooth_weights: list = dataclasses.field(
+        default_factory=lambda: [1e8])
+    # friction
+    use_friction: bool = True
+    friction_normal_weights: list = dataclasses.field(
+        default_factory=lambda: [10.0])
+    friction_tangent_weights: list = dataclasses.field(
+        default_factory=lambda: [20.0])
+    # motion infill
+    use_motion_infill_prior: bool = False
+    use_motion_infill: bool = False
+    AE_infill_path: str = ""
+    conv_kernel: int = 3
+    motion_infill_rec_weights: list = dataclasses.field(
+        default_factory=lambda: [2.0])
+    motion_infill_contact_weights: list = dataclasses.field(
+        default_factory=lambda: [0.1])
+    # misc
+    result_folder: str = "results"
+    num_stages: int | None = None
+
+    def stage_weights(self, stage: int = 0) -> dict[str, float]:
+        """Flatten the per-stage weight lists into a single-stage dict
+        (LEMO's shipped configs use one stage)."""
+        def at(lst):
+            v = lst[min(stage, len(lst) - 1)]
+            return float(v)
+
+        return {
+            "data": at(self.data_weights),
+            "body_pose": at(self.body_pose_prior_weights),
+            "hand_prior": at(self.hand_pose_prior_weights),
+            "jaw": at(self.jaw_pose_prior_weights),
+            "shape": at(self.shape_weights),
+            "expr": at(self.expr_weights),
+            "s2m": at(self.s2m_weights) if self.s2m else 0.0,
+            "m2s": at(self.m2s_weights) if self.m2s else 0.0,
+            "coll": (at(self.coll_loss_weights)
+                     if self.interpenetration else 0.0),
+            "sdf_penetration": (at(self.sdf_penetration_weights)
+                                if self.sdf_penetration else 0.0),
+            "contact": at(self.contact_loss_weights) if self.contact else 0.0,
+            "smooth_acc": (at(self.smooth_acc_weights)
+                           if self.smooth_acc else 0.0),
+            "smooth_vel": (at(self.smooth_vel_weights)
+                           if self.smooth_vel else 0.0),
+            "motion_smooth": (at(self.motion_prior_smooth_weights)
+                              if self.use_motion_smooth_prior else 0.0),
+            "friction_normal": (at(self.friction_normal_weights)
+                                if self.use_friction else 0.0),
+            "friction_tangent": (at(self.friction_tangent_weights)
+                                 if self.use_friction else 0.0),
+            "motion_infill_rec": (at(self.motion_infill_rec_weights)
+                                  if self.use_motion_infill_prior else 0.0),
+            "motion_infill_contact": (
+                at(self.motion_infill_contact_weights)
+                if self.use_motion_infill_prior else 0.0),
+            "rho_s2m": float(self.rho_s2m),
+            "rho_m2s": float(self.rho_m2s),
+        }
+
+
+def _coerce(value: str, field_type: Any):
+    if field_type is bool or isinstance(field_type, bool):
+        return str(value).lower() in ("1", "true", "yes", "on")
+    return value
+
+
+def parse_config(argv: list[str] | None = None) -> ProxConfig:
+    """--config file.yaml + `--key value` overrides -> ProxConfig."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", type=str, default=None)
+    known, rest = pre.parse_known_args(argv)
+
+    cfg = ProxConfig()
+    fields = {f.name: f for f in dataclasses.fields(ProxConfig)}
+
+    if known.config:
+        with open(known.config) as fh:
+            loaded = yaml.safe_load(fh) or {}
+        for k, v in loaded.items():
+            if k in fields:
+                cur = getattr(cfg, k)
+                if isinstance(cur, bool):
+                    v = v if isinstance(v, bool) else _coerce(v, bool)
+                elif isinstance(cur, list) and not isinstance(v, list):
+                    v = [v]
+                elif isinstance(cur, (int, float)) and isinstance(v, str):
+                    v = type(cur)(float(v))
+                elif isinstance(cur, list) and isinstance(v, list):
+                    v = [float(x) if isinstance(x, str) and
+                         _is_number(x) else x for x in v]
+                setattr(cfg, k, v)
+
+    # CLI overrides: --key value (repeated values build lists)
+    i = 0
+    while i < len(rest):
+        tok = rest[i]
+        if tok.startswith("--"):
+            key = tok[2:].replace("-", "_")
+            vals = []
+            j = i + 1
+            while j < len(rest) and not rest[j].startswith("--"):
+                vals.append(rest[j])
+                j += 1
+            if key in fields:
+                cur = getattr(cfg, key)
+                if isinstance(cur, bool):
+                    setattr(cfg, key, _coerce(vals[0] if vals else "true", bool))
+                elif isinstance(cur, list):
+                    setattr(cfg, key, [float(v) if _is_number(v) else v
+                                       for v in vals])
+                elif isinstance(cur, int):
+                    setattr(cfg, key, int(float(vals[0])))
+                elif isinstance(cur, float):
+                    setattr(cfg, key, float(vals[0]))
+                else:
+                    setattr(cfg, key, vals[0])
+            i = j
+        else:
+            i += 1
+    return cfg
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except (TypeError, ValueError):
+        return False

@@ -1,0 +1,260 @@
+"""PROX recording plumbing: OpenPose keypoints, depth scans, marker masks,
+warm-start pkls, and the overlapping sliding-window schedule.
+
+Capability parity with temp_prox/data_parser_slide.py:47-346, re-organized
+so a whole window (batch of frames) is assembled host-side into fixed-shape
+numpy arrays and shipped to the device once per window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+
+from lemo_tpu.data.projection import KinectProjection
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+SCAN_MAX_POINTS = 20000  # fixed scan padding (data_parser_slide.py:317-323)
+
+
+def read_keypoints(path: str, use_hands: bool = True, use_face: bool = True,
+                   use_face_contour: bool = False) -> np.ndarray | None:
+    """OpenPose json -> [118, 3] (25 body + 2x21 hands + 51 face) keypoints
+    of the first detected person (data_parser_slide.py:54-102)."""
+    with open(path) as fh:
+        data = json.load(fh)
+    if not data.get("people"):
+        return None
+    person = data["people"][0]
+    parts = [np.asarray(person["pose_keypoints_2d"],
+                        np.float32).reshape(-1, 3)]
+    if use_hands:
+        parts.append(np.asarray(person["hand_left_keypoints_2d"],
+                                np.float32).reshape(-1, 3))
+        parts.append(np.asarray(person["hand_right_keypoints_2d"],
+                                np.float32).reshape(-1, 3))
+    if use_face:
+        face = np.asarray(person["face_keypoints_2d"],
+                          np.float32).reshape(-1, 3)[17:17 + 51]
+        parts.append(face)
+        if use_face_contour:
+            parts.append(np.asarray(person["face_keypoints_2d"],
+                                    np.float32).reshape(-1, 3)[:17])
+    return np.concatenate(parts, axis=0)
+
+
+def read_prox_pkl(path: str) -> dict[str, np.ndarray]:
+    """Warm-start body params from a previous stage's per-frame pkl
+    (data_parser_slide.py:106-126)."""
+    with open(path, "rb") as fh:
+        data = pickle.load(fh)
+    keys = ["transl", "global_orient", "betas", "body_pose", "pose_embedding",
+            "left_hand_pose", "right_hand_pose", "jaw_pose", "leye_pose",
+            "reye_pose", "expression"]
+    return {k: np.asarray(data[k][0], np.float32) for k in keys}
+
+
+def sliding_windows(num_frames: int, window: int,
+                    stride_frac: float = 0.7) -> list[tuple[int, int]]:
+    """Overlapping windows: size=window, stride=0.7*window
+    (data_parser_slide.py:199-212). Returns [(start, end)) index pairs.
+
+    All windows are exactly `window` frames (static shapes for one
+    compilation). Where the reference *drops* a short tail window
+    (DataLoader drop_last=True), we instead clamp the final window to
+    [num_frames - window, num_frames] so every frame is fitted. Sequences
+    shorter than `window` yield a single short window.
+    """
+    if num_frames <= window:
+        return [(0, num_frames)]
+    stride = int(window * stride_frac)
+    spans = []
+    start = 0
+    while start + window <= num_frames:
+        spans.append((start, start + window))
+        start += stride
+    if spans[-1][1] < num_frames:
+        spans.append((num_frames - window, num_frames))
+    return spans
+
+
+@dataclasses.dataclass
+class ProxRecording:
+    """Locations and calibration of one PROX recording
+    (main_slide.py:61-77 path layout)."""
+
+    recording_dir: str
+    base_dir: str
+    recording_name: str
+    scene_name: str
+    keyp_folder: str
+    calib_dir: str
+    cam2world_dir: str
+    scene_dir: str
+    sdf_dir: str
+    marker_mask_dir: str
+    prox_params_dir: str
+
+    @classmethod
+    def from_recording_dir(cls, recording_dir: str,
+                           marker_mask_root: str | None = None,
+                           prox_params_root: str | None = None
+                           ) -> "ProxRecording":
+        name = osp.basename(osp.normpath(recording_dir))
+        base = osp.abspath(osp.join(recording_dir, os.pardir, os.pardir))
+        scene = name.split("_")[0]
+        return cls(
+            recording_dir=recording_dir,
+            base_dir=base,
+            recording_name=name,
+            scene_name=scene,
+            keyp_folder=osp.join(base, "keypoints", name),
+            calib_dir=osp.join(base, "calibration"),
+            cam2world_dir=osp.join(base, "cam2world"),
+            scene_dir=osp.join(base, "scenes"),
+            sdf_dir=osp.join(base, "scenes_sdf"),
+            marker_mask_dir=(marker_mask_root or
+                             osp.join(base, "mask_markers", name)),
+            prox_params_dir=(prox_params_root or
+                             osp.join(base, "PROXD", name)),
+        )
+
+    def load_cam2world(self) -> tuple[np.ndarray, np.ndarray]:
+        with open(osp.join(self.cam2world_dir,
+                           self.scene_name + ".json")) as fh:
+            m = np.asarray(json.load(fh))
+        return m[:3, :3].astype(np.float32), m[:3, 3].astype(np.float32)
+
+    def load_sdf(self):
+        """(sdf [D,D,D], grid_min, grid_max, normals or None) — the
+        scenes_sdf layout (fit_temp_loadprox_slide.py:286-305)."""
+        with open(osp.join(self.sdf_dir, self.scene_name + ".json")) as fh:
+            meta = json.load(fh)
+        dim = meta["dim"]
+        sdf = np.load(osp.join(self.sdf_dir, self.scene_name + "_sdf.npy")
+                      ).reshape(dim, dim, dim).astype(np.float32)
+        normals_path = osp.join(self.sdf_dir, self.scene_name + "_normals.npy")
+        normals = None
+        if osp.exists(normals_path):
+            normals = np.load(normals_path).reshape(dim, dim, dim, 3)
+        return sdf, np.asarray(meta["min"], np.float32), \
+            np.asarray(meta["max"], np.float32), normals
+
+
+class ProxWindowDataset:
+    """Window-batched PROX frame loader.
+
+    Per frame: OpenPose keypoints, depth scan cloud (padded to 20000 pts),
+    marker occlusion mask, and the warm-start body params (own output dir
+    first, then the previous stage's — data_parser_slide.py:325-333).
+    """
+
+    def __init__(self, rec: ProxRecording, output_params_dir: str,
+                 batch_size: int = 100, img_folder: str = "Color",
+                 depth_folder: str = "Depth",
+                 mask_color_folder: str = "BodyIndexColor",
+                 read_depth: bool = True, read_mask: bool = True,
+                 mask_on_color: bool = True, depth_scale: float = 1e-3,
+                 flip: bool = True, use_hands: bool = True,
+                 use_face: bool = True, joints_to_ign=(1, 9, 12)):
+        self.rec = rec
+        self.batch_size = batch_size
+        self.flip = flip
+        self.read_depth = read_depth
+        self.read_mask = read_mask
+        self.mask_on_color = mask_on_color
+        self.depth_scale = depth_scale
+        self.use_hands = use_hands
+        self.use_face = use_face
+        self.joints_to_ign = joints_to_ign
+        self.output_params_dir = output_params_dir
+
+        self.img_folder = osp.join(rec.recording_dir, img_folder)
+        self.depth_folder = osp.join(rec.recording_dir, depth_folder)
+        self.mask_color_folder = osp.join(rec.recording_dir, mask_color_folder)
+
+        self.img_paths = sorted(
+            osp.join(self.img_folder, f) for f in os.listdir(self.img_folder)
+            if f.endswith((".png", ".jpg")) and not f.startswith("."))
+        self.frame_names = [osp.splitext(osp.basename(p))[0]
+                            for p in self.img_paths]
+        mask_path = osp.join(rec.marker_mask_dir, "mask_markers.npy")
+        if osp.exists(mask_path):
+            self.marker_masks = np.load(mask_path).astype(np.float32)
+        else:
+            self.marker_masks = np.ones((len(self.img_paths), 67), np.float32)
+        self.windows = sliding_windows(len(self.img_paths), batch_size)
+        self.projection = (KinectProjection(rec.calib_dir)
+                           if read_depth else None)
+
+    def joint_weights(self) -> np.ndarray:
+        """[118] per-joint weights with the ignored joints zeroed
+        (data_parser_slide.py:238-250)."""
+        n = 25 + 40 * self.use_hands + 51 * self.use_face + 2 * self.use_hands
+        w = np.ones(n, np.float32)
+        if self.joints_to_ign and -1 not in self.joints_to_ign:
+            w[list(self.joints_to_ign)] = 0.0
+        return w
+
+    def _warm_start(self, frame_name: str) -> dict[str, np.ndarray]:
+        own = osp.join(self.output_params_dir, "results", frame_name,
+                       "000.pkl")
+        prev = osp.join(self.rec.prox_params_dir, "results", frame_name,
+                        "000.pkl")
+        return read_prox_pkl(own if osp.exists(own) else prev)
+
+    def load_frame(self, idx: int) -> dict:
+        img_path = self.img_paths[idx]
+        fn = self.frame_names[idx]
+        keyp = read_keypoints(
+            osp.join(self.rec.keyp_folder, fn + "_keypoints.json"),
+            self.use_hands, self.use_face)
+        scan = np.zeros((SCAN_MAX_POINTS, 3), np.float32)
+        n_pts = 0
+        if self.read_depth and self.read_mask:
+            depth = cv2.imread(osp.join(self.depth_folder, fn + ".png"),
+                               flags=-1).astype(float)
+            depth = depth / 8.0 * self.depth_scale
+            mask = cv2.imread(osp.join(self.mask_color_folder, fn + ".png"),
+                              cv2.IMREAD_GRAYSCALE)
+            if self.flip:
+                depth = cv2.flip(depth, 1)
+                mask = cv2.flip(mask, 1)
+            pts = self.projection.create_scan(
+                mask, depth, mask_on_color=self.mask_on_color)["points"]
+            n_pts = min(len(pts), SCAN_MAX_POINTS)
+            scan[:n_pts] = pts[:n_pts]
+        return {
+            "fn": fn,
+            "keypoints": keyp,
+            "scan": scan,
+            "scan_point_num": n_pts,
+            "marker_mask": self.marker_masks[min(idx, len(self.marker_masks) - 1)],
+            "warm_start": self._warm_start(fn),
+        }
+
+    def load_window(self, widx: int) -> dict:
+        start, end = self.windows[widx]
+        frames = [self.load_frame(i) for i in range(start, end)]
+        out = {
+            "fns": [f["fn"] for f in frames],
+            "keypoints": np.stack([f["keypoints"] for f in frames]),
+            "scan": np.stack([f["scan"] for f in frames]),
+            "scan_mask": np.stack(
+                [np.arange(SCAN_MAX_POINTS) < f["scan_point_num"]
+                 for f in frames]),
+            "marker_mask": np.stack([f["marker_mask"] for f in frames]),
+        }
+        ws_keys = frames[0]["warm_start"].keys()
+        out["warm_start"] = {
+            k: np.stack([f["warm_start"][k] for f in frames]) for k in ws_keys}
+        return out

@@ -1,0 +1,146 @@
+"""AMASS Stage-2: temporal whole-clip fitting with the learned smoothness
+prior and foot-contact friction.
+
+Capability parity with opt_amass_temp.py:62-458: initialize from the
+Stage-1 per-frame solution, then jointly optimize all T frames for 100
+Adam steps (lr 0.01 -> 0.005 after step 60) under
+
+  L = w_m  * L1(markers, targets)                      (1.0)
+    + w_vp * |z_vposer|^2 + w_sh * |betas|^2 + w_h * |hand|^2
+    + w_sm * mean(dz/dt of the frozen smoothness encoder)^2   (1e6)
+    + w_cv * hinge(contact-vertex speed - 0.1)                (0.03)
+
+TPU design: the full 100-step fit is one jitted lax.scan; the smoothness
+encoder runs frozen inside the loss (its params are closure constants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lemo_tpu.body_model import SmplxModel, make_forward_fn
+from lemo_tpu.data.stats import GlobalStats
+from lemo_tpu.fitting import params as P
+from lemo_tpu.fitting.adam import piecewise_lr, run_adam
+from lemo_tpu.ops.rotations import aa_to_rot6d, rot6d_to_aa
+from lemo_tpu.ops.signal import reflect_pad_dt
+from lemo_tpu.priors.conv_ae import smooth_enc_forward
+
+
+@dataclasses.dataclass
+class Stage2Weights:
+    rec_markers: float = 1.0
+    vposer: float = 0.02
+    shape: float = 0.01
+    hand: float = 0.01
+    smooth: float = 1e6
+    contact_vel: float = 0.03
+
+
+def smoothness_prior_loss(enc_params, markers_with_hand, joints_frame0,
+                          stats: GlobalStats):
+    """Latent-acceleration loss of the frozen smoothness encoder.
+
+    markers_with_hand: [T, 81, 3]; joints_frame0: [25, 3] (detached).
+    Mirrors opt_amass_temp.py:363-391 — frame-0 normalization uses the
+    joint-derived rotation but the FIRST SMOOTH MARKER of frame 0 as the
+    origin.
+    """
+    from lemo_tpu.data.repr import frame0_normalizer
+
+    R, _ = frame0_normalizer(jax.lax.stop_gradient(joints_frame0))
+    origin = jax.lax.stop_gradient(markers_with_hand[0, 0])
+    m = jnp.matmul(markers_with_hand - origin, R)  # [T, 81, 3]
+    clip = m.reshape(m.shape[0], -1)[None]  # [1, T, d]
+    clip = (clip - jnp.asarray(stats.Xmean, clip.dtype)) / \
+        jnp.asarray(stats.Xstd, clip.dtype)
+    img = clip.swapaxes(1, 2)[:, None]  # [1, 1, d, T]
+    vel = img[..., 1:] - img[..., :-1]
+    vel = reflect_pad_dt(vel)
+    z, _ = smooth_enc_forward(enc_params, vel, downsample=False)
+    dz = z[..., 1:] - z[..., :-1]
+    return (dz ** 2).mean()
+
+
+def contact_friction_loss(verts, contact_lbl, foot_ids, fps: float = 30.0,
+                          vel_thresh: float = 0.1):
+    """Hinge on contact-vertex speeds (opt_amass_temp.py:406-447).
+
+    verts: [T, V, 3]; contact_lbl: [T, 4] (lheel, rheel, ltoe, rtoe);
+    foot_ids: dict of vertex-id arrays. Per foot part, averages speeds
+    exceeding 0.1 m/s over frames labeled in contact.
+    """
+    vel = (verts[1:] - verts[:-1]) * fps  # [T-1, V, 3]
+    total = 0.0
+    for i, part in enumerate(["left_heel", "right_heel", "left_toe",
+                              "right_toe"]):
+        ids = jnp.asarray(foot_ids[part])
+        # eps-guarded norm: d|v|/dv is NaN at v=0 (static feet), and the
+        # NaN survives multiplication by a zero mask
+        speeds = jnp.sqrt((vel[:, ids, :] ** 2).sum(-1) + 1e-12)  # [T-1, n]
+        w = contact_lbl[:-1, i][:, None]  # contact frames only
+        over = (speeds > vel_thresh).astype(speeds.dtype) * w
+        total = total + jnp.sum(speeds * over) / jnp.maximum(over.sum(), 1.0)
+    return total
+
+
+def fit_clip_temporal(
+    model: SmplxModel,
+    vposer_params: dict,
+    smooth_enc_params: dict,
+    smooth_stats: GlobalStats,
+    marker_ids_67,
+    marker_ids_81,
+    foot_ids: dict,
+    markers_target: jnp.ndarray,  # [T, 67, 3]
+    contact_lbl: jnp.ndarray,     # [T, 4]
+    init72: jnp.ndarray,          # [T, 72] Stage-1 solution
+    num_steps: int = 100,
+    weights: Stage2Weights = Stage2Weights(),
+):
+    """Returns ([T, 72] refined params, per-step losses)."""
+    fwd = make_forward_fn(model)
+    ids67 = jnp.asarray(marker_ids_67)
+    ids81 = jnp.asarray(marker_ids_81)
+    shape10 = init72[:, 6:16]  # betas frozen (opt_amass_temp.py:335)
+
+    init_vars = {
+        "transl": init72[:, 0:3],
+        "rot6d": aa_to_rot6d(init72[:, 3:6]),
+        "other": init72[:, 16:],
+    }
+
+    def loss_fn(v):
+        x72 = jnp.concatenate(
+            [v["transl"], rot6d_to_aa(v["rot6d"]), shape10, v["other"]],
+            axis=-1)
+        sp = P.smplx_params_from_72(x72, vposer_params,
+                                    model.config.num_expressions)
+        out = fwd(sp, model.consts)
+        verts = out["vertices"]
+        loss_marker = jnp.abs(verts[:, ids67] - markers_target).mean()
+        loss_vposer = (x72[:, 16:48] ** 2).mean()
+        loss_shape = (x72[:, 6:16] ** 2).mean()
+        loss_hand = (x72[:, 48:] ** 2).mean()
+        loss_smooth = smoothness_prior_loss(
+            smooth_enc_params, verts[:, ids81], out["joints"][0, :25],
+            smooth_stats)
+        loss_cv = contact_friction_loss(verts, contact_lbl, foot_ids)
+        return (weights.rec_markers * loss_marker
+                + weights.vposer * loss_vposer
+                + weights.shape * loss_shape
+                + weights.hand * loss_hand
+                + weights.smooth * loss_smooth
+                + weights.contact_vel * loss_cv)
+
+    lr_table = piecewise_lr([(0, 0.01), (61, 0.005)], num_steps)
+    final, losses, _ = jax.jit(
+        lambda iv: run_adam(loss_fn, iv, num_steps, lr_table))(init_vars)
+    x72 = jnp.concatenate(
+        [final["transl"], rot6d_to_aa(final["rot6d"]), shape10,
+         final["other"]], axis=-1)
+    return x72, losses

@@ -1,0 +1,231 @@
+"""PROX pipeline driver: config -> recording -> sliding-window fits.
+
+Capability parity with temp_prox/main_slide.py:54-373: builds the asset
+paths, loads the priors and gendered body model, iterates the overlapping
+windows, warm-starts each from the pkls on disk (its own outputs first, so
+a killed run resumes mid-sequence), runs the fit, and writes per-frame pkl
+results + a conf.yaml snapshot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import os.path as osp
+import time
+
+import numpy as np
+import jax.numpy as jnp
+import yaml
+
+from lemo_tpu.body_model import load_model
+from lemo_tpu.body_model.vertex_ids import smpl_to_openpose
+from lemo_tpu.config import ProxConfig
+from lemo_tpu.data import markers as mk
+from lemo_tpu.data import segments as seg
+from lemo_tpu.data.prox import ProxRecording, ProxWindowDataset
+from lemo_tpu.data.stats import GlobalStats, Local4ChanStats
+from lemo_tpu.fitting.prox.camera import PerspectiveCamera
+from lemo_tpu.fitting.prox.infill_prepass import run_infill_prepass
+from lemo_tpu.fitting.prox.losses import ProxStatic, ProxWeights
+from lemo_tpu.fitting.prox.window import fit_window, save_window_pkls
+
+
+def weights_from_config(cfg: ProxConfig, stage: int = 0) -> ProxWeights:
+    w = cfg.stage_weights(stage)
+    return ProxWeights(
+        data=w["data"], body_pose=w["body_pose"], shape=w["shape"],
+        hand_prior=w["hand_prior"], expr=w["expr"], jaw=w["jaw"],
+        coll=w["coll"], s2m=w["s2m"], m2s=w["m2s"],
+        rho_s2m=w["rho_s2m"], rho_m2s=w["rho_m2s"],
+        sdf_penetration=w["sdf_penetration"], contact=w["contact"],
+        smooth_acc=w["smooth_acc"], smooth_vel=w["smooth_vel"],
+        motion_smooth=w["motion_smooth"],
+        friction_normal=w["friction_normal"],
+        friction_tangent=w["friction_tangent"],
+        motion_infill_rec=w["motion_infill_rec"],
+        motion_infill_contact=w["motion_infill_contact"],
+    )
+
+
+@dataclasses.dataclass
+class ProxAssets:
+    """Injectable models/priors (tests pass synthetic ones; production
+    loads from cfg paths)."""
+
+    model: object
+    vposer_params: dict
+    smooth_enc_params: dict | None = None
+    smooth_stats: GlobalStats | None = None
+    infill_ae_params: dict | None = None
+    infill_stats: Local4ChanStats | None = None
+    scene_verts: np.ndarray | None = None
+
+
+def load_assets(cfg: ProxConfig) -> ProxAssets:
+    from lemo_tpu.priors.conv_ae import load_torch_state_dict
+
+    model_path = osp.join(cfg.model_folder, "smplx",
+                          f"SMPLX_{cfg.gender.upper()}.npz")
+    if not osp.exists(model_path):
+        model_path = osp.join(cfg.model_folder,
+                              f"SMPLX_{cfg.gender.upper()}.npz")
+    model = load_model(model_path, gender=cfg.gender, use_pca=cfg.use_pca,
+                       num_pca_comps=cfg.num_pca_comps,
+                       flat_hand_mean=cfg.flat_hand_mean)
+    vposer_params = load_torch_state_dict(
+        osp.join(cfg.vposer_ckpt, "snapshots", "latest.pkl")) \
+        if cfg.vposer_ckpt else None
+
+    smooth_enc = smooth_stats = None
+    if cfg.use_motion_smooth_prior and cfg.AE_Enc_path:
+        smooth_enc = load_torch_state_dict(cfg.AE_Enc_path)
+        smooth_stats = GlobalStats.load(osp.join(
+            osp.dirname(osp.dirname(cfg.AE_Enc_path)), "..",
+            "preprocess_stats",
+            "preprocess_stats_smooth_withHand_global_markers.npz"))
+    infill_ae = infill_stats = None
+    if cfg.use_motion_infill_prior and cfg.AE_infill_path:
+        infill_ae = load_torch_state_dict(cfg.AE_infill_path)
+    return ProxAssets(model=model, vposer_params=vposer_params,
+                      smooth_enc_params=smooth_enc,
+                      smooth_stats=smooth_stats,
+                      infill_ae_params=infill_ae,
+                      infill_stats=infill_stats)
+
+
+def build_window_static(cfg: ProxConfig, assets: ProxAssets,
+                        rec: ProxRecording, window_data: dict,
+                        joint_weights: np.ndarray,
+                        infill_result=None) -> ProxStatic:
+    model = assets.model
+    V = model.num_verts
+    camera = PerspectiveCamera(cfg.focal_length_x, cfg.focal_length_y,
+                               (cfg.camera_center_x, cfg.camera_center_y))
+    R, t = rec.load_cam2world()
+    sdf = grid_min = grid_max = None
+    if cfg.sdf_penetration or cfg.use_friction:
+        sdf, grid_min, grid_max, _ = rec.load_sdf()
+        sdf, grid_min, grid_max = (jnp.asarray(sdf), jnp.asarray(grid_min),
+                                   jnp.asarray(grid_max))
+
+    jw = joint_weights.copy()
+    if cfg.use_hands:
+        jw[25:76] = cfg.hand_joints_weights[-1]
+    if cfg.use_face:
+        jw[76:] = cfg.face_joints_weights[-1]
+    # re-apply ignored joints
+    for j in cfg.joints_to_ign:
+        if 0 <= int(j) < len(jw):
+            jw[int(j)] = 0.0
+
+    _, body_mask = seg.head_and_body_masks(V)
+
+    keypoints = window_data["keypoints"]
+    st = ProxStatic(
+        gt_joints=jnp.asarray(keypoints[:, :, :2]),
+        joints_conf=jnp.asarray(keypoints[:, :, 2]),
+        joint_weights=jnp.asarray(jw),
+        camera=camera,
+        R=jnp.asarray(R), t=jnp.asarray(t),
+        scan=jnp.asarray(window_data["scan"]) if cfg.s2m or cfg.m2s else None,
+        scan_mask=(jnp.asarray(window_data["scan_mask"])
+                   if cfg.s2m or cfg.m2s else None),
+        body_mask=jnp.asarray(body_mask),
+        sdf=sdf, grid_min=grid_min, grid_max=grid_max,
+        scene_verts=(jnp.asarray(assets.scene_verts)
+                     if cfg.contact and assets.scene_verts is not None
+                     else None),
+        contact_verts_ids=jnp.asarray(
+            seg.contact_vertex_ids(cfg.contact_body_parts, V))
+        if cfg.contact else None,
+        fric_verts_ids=jnp.asarray(seg.friction_vertex_ids(V))
+        if cfg.use_friction else None,
+        foot_ids=seg.foot_vertex_ids(V),
+        smooth_enc_params=assets.smooth_enc_params,
+        smooth_stats=assets.smooth_stats,
+        smooth_marker_ids=jnp.asarray(mk.marker_indices(True, num_verts=V)),
+        marker_mask=jnp.asarray(window_data["marker_mask"]),
+        infill_marker_ids=jnp.asarray(mk.marker_indices(False, num_verts=V)),
+        faces=jnp.asarray(model.faces) if cfg.interpenetration else None,
+    )
+    if infill_result is not None:
+        st = dataclasses.replace(
+            st, infill_targets=infill_result.targets_world,
+            infill_contact_lbl=infill_result.contact_lbl)
+    return st
+
+
+def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
+                     max_windows: int | None = None,
+                     verbose: bool = True) -> list:
+    """Fit a full recording window-by-window; returns WindowResults."""
+    if assets is None:
+        assets = load_assets(cfg)
+    model = assets.model
+
+    rec = ProxRecording.from_recording_dir(cfg.recording_dir)
+    output_folder = osp.join(osp.expandvars(cfg.output_folder),
+                             rec.recording_name)
+    result_folder = osp.join(output_folder, cfg.result_folder)
+    os.makedirs(result_folder, exist_ok=True)
+    with open(osp.join(output_folder, "conf.yaml"), "w") as fh:
+        yaml.safe_dump(dataclasses.asdict(cfg), fh)
+
+    ds = ProxWindowDataset(
+        rec, output_params_dir=output_folder, batch_size=cfg.batch_size,
+        img_folder=cfg.img_folder,
+        read_depth=cfg.read_depth and (cfg.s2m or cfg.m2s or
+                                       cfg.init_mode == "scan"),
+        read_mask=cfg.read_mask, mask_on_color=cfg.mask_on_color,
+        flip=cfg.flip, use_hands=cfg.use_hands, use_face=cfg.use_face,
+        joints_to_ign=cfg.joints_to_ign)
+    jw = ds.joint_weights()
+    mapper = smpl_to_openpose(cfg.model_type, cfg.use_hands, cfg.use_face,
+                              cfg.use_face_contour)
+    weights = weights_from_config(cfg)
+
+    results = []
+    n_windows = len(ds.windows) if max_windows is None else \
+        min(max_windows, len(ds.windows))
+    for widx in range(n_windows):
+        t0 = time.time()
+        wd = ds.load_window(widx)
+        warm = {k: jnp.asarray(v) for k, v in wd["warm_start"].items()}
+
+        infill_result = None
+        if cfg.use_motion_infill_prior and assets.infill_ae_params:
+            from lemo_tpu.body_model import make_forward_fn
+            from lemo_tpu.body_model import vposer as vp
+            import jax as _jax
+
+            fwd = make_forward_fn(model)
+            body_pose = vp.decode(assets.vposer_params,
+                                  warm["pose_embedding"], "aa")
+            params = {k: warm[k] for k in
+                      ("transl", "global_orient", "betas", "left_hand_pose",
+                       "right_hand_pose", "jaw_pose", "leye_pose",
+                       "reye_pose", "expression")}
+            params["body_pose"] = body_pose
+            out = fwd(params, model.consts)
+            R, t = rec.load_cam2world()
+            mv = out["vertices"] @ jnp.asarray(R).T + jnp.asarray(t)
+            mj = out["joints"][:, :25] @ jnp.asarray(R).T + jnp.asarray(t)
+            ids67 = jnp.asarray(mk.marker_indices(False,
+                                                  num_verts=model.num_verts))
+            infill_result = run_infill_prepass(
+                assets.infill_ae_params, mv[:, ids67], mj,
+                jnp.asarray(wd["marker_mask"]), assets.infill_stats)
+
+        static = build_window_static(cfg, assets, rec, wd, jw, infill_result)
+        result = fit_window(
+            model, assets.vposer_params, mapper, static, weights,
+            warm, first_window=(widx == 0),
+            maxiters=cfg.maxiters, lr=cfg.lr)
+        save_window_pkls(result, wd["fns"], result_folder)
+        results.append(result)
+        if verbose:
+            print(f"[window {widx + 1}/{n_windows}] frames "
+                  f"{ds.windows[widx]}: loss {result.final_loss:.4f} "
+                  f"({time.time() - t0:.1f}s)")
+    return results

@@ -1,0 +1,323 @@
+"""The PROX SMPLify loss engine, as one pure jittable function.
+
+Capability parity with SMPLifyLoss.forward (temp_prox/fitting_temp_slide.py
+:564-1062) — all eleven loss families:
+
+  ① 2-D keypoint reprojection            ⑦ ground friction (normal/tangent)
+  ② pose/shape/angle/hand/expr priors    ⑧ scene-contact Chamfer
+  ③ self-interpenetration                ⑨ naive smoothness (acc/vel)
+  ④ depth s2m/m2s Chamfer + visibility   ⑩ motion-infill reconstruction
+  ⑤ cam→world transform                  ⑪ learned motion-smoothness prior
+  ⑥ scene-SDF penetration
+
+TPU redesign highlights:
+- the reference's per-frame CPU round-trips (psbody visibility, numpy
+  Holden transforms) are replaced by on-device batched kernels
+  (:mod:`lemo_tpu.ops.visibility`, :mod:`lemo_tpu.data.repr`);
+- the stateful "finetune the infill AE at opt step 0 and cache targets"
+  logic (fitting_temp_slide.py:821-941) is hoisted into an explicit
+  pre-pass (:mod:`lemo_tpu.fitting.prox.infill_prepass`) whose outputs are
+  constants of this loss;
+- zero-weight terms are pruned at trace time (weights are static).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lemo_tpu.data.stats import GlobalStats
+from lemo_tpu.fitting.amass_temp import smoothness_prior_loss
+from lemo_tpu.fitting.prox.camera import PerspectiveCamera
+from lemo_tpu.ops import robust
+from lemo_tpu.ops.chamfer import nn_distance
+from lemo_tpu.ops.intersection import batched_self_intersection
+from lemo_tpu.ops.sdf import sample_sdf_world
+from lemo_tpu.ops.visibility import visibility_zbuffer
+from lemo_tpu.priors.body_priors import angle_prior, l2_prior
+
+
+@dataclasses.dataclass
+class ProxWeights:
+    """Per-stage loss weights (cmd_parser defaults / PROXD_temp_S*.yaml)."""
+
+    data: float = 1.0
+    body_pose: float = 4.78e-5
+    shape: float = 0.0
+    bending_factor: float = 3.17  # bending = factor * body_pose (fit_temp:524)
+    hand_prior: float = 4.78e-5
+    expr: float = 0.03
+    jaw: float = 0.03
+    coll: float = 0.0
+    s2m: float = 0.0
+    m2s: float = 0.0
+    rho_s2m: float = 0.2
+    rho_m2s: float = 0.5
+    sdf_penetration: float = 0.003
+    contact: float = 0.0
+    smooth_acc: float = 0.0
+    smooth_vel: float = 0.0
+    motion_smooth: float = 1e8
+    friction_normal: float = 10.0
+    friction_tangent: float = 20.0
+    motion_infill_rec: float = 0.0
+    motion_infill_contact: float = 0.0
+
+
+@dataclasses.dataclass
+class ProxStatic:
+    """Per-window constants (device arrays unless noted)."""
+
+    gt_joints: Any            # [T, 118, 2]
+    joints_conf: Any          # [T, 118]
+    joint_weights: Any        # [118] incl. hand/face stage weights
+    camera: PerspectiveCamera
+    R: Any                    # [3, 3] cam2world
+    t: Any                    # [3]
+    # depth term
+    scan: Any = None          # [T, S, 3] padded scan clouds (cam coords)
+    scan_mask: Any = None     # [T, S] validity
+    body_mask: Any = None     # [V] bool, body without head
+    # scene
+    sdf: Any = None           # [D, D, D]
+    grid_min: Any = None      # [3]
+    grid_max: Any = None      # [3]
+    scene_verts: Any = None   # [Ns, 3] world
+    # vertex sets
+    contact_verts_ids: Any = None
+    fric_verts_ids: Any = None
+    foot_ids: dict | None = None
+    # learned priors
+    smooth_enc_params: dict | None = None
+    smooth_stats: GlobalStats | None = None
+    smooth_marker_ids: Any = None   # [81]
+    # motion-infill targets from the pre-pass
+    infill_targets: Any = None      # [Ti, 67, 3] world
+    infill_contact_lbl: Any = None  # [Ti, 4]
+    marker_mask: Any = None         # [T, 67] 1 = visible
+    infill_marker_ids: Any = None   # [67]
+    # self-intersection
+    faces: Any = None               # [F, 3]
+    faces_segm: Any = None
+    ign_table: Any = None
+    image_size: tuple = (1920, 1080)
+
+
+def to_world(points: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray):
+    """cam->world (fitting_temp_slide.py:679)."""
+    return points @ R.T + t
+
+
+def keypoint_loss(proj: jnp.ndarray, st: ProxStatic, w_data: float):
+    w = (st.joint_weights[None] * st.joints_conf)[..., None]  # [T, 118, 1]
+    return (w ** 2 * jnp.abs(st.gt_joints - proj)).mean() * w_data
+
+
+def depth_terms(verts_cam, st: ProxStatic, w: ProxWeights):
+    """s2m / m2s Chamfer with per-frame z-buffer visibility
+    (fitting_temp_slide.py:637-670)."""
+    cam = st.camera
+
+    def per_frame(v, scan, scan_m):
+        vis = visibility_zbuffer(
+            jax.lax.stop_gradient(v), cam.focal_length_x, cam.focal_length_y,
+            cam.center[0], cam.center[1],
+            st.image_size[0], st.image_size[1])
+        s2m = 0.0
+        m2s = 0.0
+        if w.s2m > 0:
+            d2, _ = nn_distance(scan, v, vis)
+            ds = robust.gmof(jnp.sqrt(d2 + 1e-12), w.rho_s2m)
+            s2m = robust.masked_mean(ds, scan_m)
+        if w.m2s > 0:
+            mask = jnp.logical_and(vis, st.body_mask)
+            d2, _ = nn_distance(v, scan, scan_m)
+            ds = robust.gmof(jnp.sqrt(d2 + 1e-12), w.rho_m2s)
+            m2s = robust.masked_mean(ds, mask)
+        return s2m, m2s
+
+    s2m, m2s = jax.vmap(per_frame)(verts_cam, st.scan, st.scan_mask)
+    return s2m.mean() * w.s2m, m2s.mean() * w.m2s
+
+
+def friction_terms(verts_world, st: ProxStatic, w: ProxWeights):
+    """Ground-plane friction (fitting_temp_slide.py:698-739): for friction
+    vertices whose scene SDF < 1 cm, constrain the inter-frame velocity:
+    tangent magnitude ~ 0, normal component >= 0."""
+    fv = verts_world[:, st.fric_verts_ids, :]        # [T, Nf, 3]
+    sdf_v = sample_sdf_world(st.sdf, fv, st.grid_min, st.grid_max)  # [T, Nf]
+    contact = sdf_v[:-1] < 0.01                      # [T-1, Nf]
+    vel = fv[1:] - fv[:-1]                            # [T-1, Nf, 3]
+    n = jnp.array([0.0, 0.0, 1.0], vel.dtype)        # floor normal
+    v_dot_n = (vel * n).sum(-1)                      # [T-1, Nf]
+    v_t = vel - v_dot_n[..., None] * n
+    tangent_mag = jnp.sqrt((v_t ** 2).sum(-1) + 1e-12)
+
+    loss_t = robust.masked_mean(
+        tangent_mag, jnp.logical_and(contact, tangent_mag > 1e-4))
+    loss_n = robust.masked_mean(
+        jnp.abs(v_dot_n), jnp.logical_and(contact, v_dot_n < 0))
+    return loss_t * w.friction_tangent, loss_n * w.friction_normal
+
+
+def contact_term(verts_world, st: ProxStatic, w: ProxWeights):
+    """Scene-contact Chamfer (fitting_temp_slide.py:743-753)."""
+    cv = verts_world[:, st.contact_verts_ids, :]     # [T, Nc, 3]
+
+    def per_frame(v):
+        d2, _ = nn_distance(v, st.scene_verts)
+        ds = jnp.sqrt(d2 + 1e-4)
+        return (ds / (ds + 1.0)).mean()
+
+    return jax.vmap(per_frame)(cv).mean() * w.contact
+
+
+def infill_terms(verts_world, st: ProxStatic, w: ProxWeights):
+    """Motion-infill reconstruction + contact-velocity terms
+    (fitting_temp_slide.py:943-992) against the pre-pass targets."""
+    Ti = st.infill_targets.shape[0]
+    markers = verts_world[:Ti, st.infill_marker_ids, :]  # [Ti, 67, 3]
+    miss = 1.0 - st.marker_mask[:Ti]                     # 1 = occluded
+    diff = jnp.abs(st.infill_targets - markers) * miss[..., None]
+    rec = robust.masked_mean(diff, jnp.broadcast_to(
+        miss[..., None] > 0, diff.shape))
+
+    vel = (verts_world[1:] - verts_world[:-1]) * 30.0
+    cv_total = 0.0
+    for i, part in enumerate(["left_heel", "right_heel", "left_toe",
+                              "right_toe"]):
+        ids = jnp.asarray(st.foot_ids[part])
+        speeds = jnp.sqrt((vel[:, ids, :] ** 2).sum(-1) + 1e-12)  # [T-1, n]
+        lbl = st.infill_contact_lbl[: speeds.shape[0], i][:, None]
+        cv_total = cv_total + robust.hinge_above(speeds, 0.1, lbl)
+    return rec * w.motion_infill_rec, cv_total * w.motion_infill_contact
+
+
+def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
+                   st: ProxStatic, w: ProxWeights,
+                   num_expressions: int = 10):
+    """Build loss(opt_vars) -> (total, dict of terms).
+
+    opt_vars: {transl, global_orient, left/right_hand_pose, jaw_pose,
+    leye_pose, reye_pose, expression, pose_embedding} each [T, ...];
+    'betas' is a frozen entry carried alongside.
+    """
+    from lemo_tpu.body_model import vposer as vp
+
+    jm = jnp.asarray(joint_mapper)
+
+    def loss_fn(opt_vars, betas):
+        body_pose = vp.decode(vposer_params, opt_vars["pose_embedding"], "aa")
+        params = {
+            "transl": opt_vars["transl"],
+            "global_orient": opt_vars["global_orient"],
+            "betas": betas,
+            "body_pose": body_pose,
+            "left_hand_pose": opt_vars["left_hand_pose"],
+            "right_hand_pose": opt_vars["right_hand_pose"],
+            "jaw_pose": opt_vars["jaw_pose"],
+            "leye_pose": opt_vars["leye_pose"],
+            "reye_pose": opt_vars["reye_pose"],
+            "expression": opt_vars["expression"],
+        }
+        out = forward_fn(params, consts)
+        verts = out["vertices"]              # [T, V, 3] cam coords
+        joints_all = out["joints"]           # [T, 127, 3]
+        mapped = joints_all[:, jm, :]        # [T, 118, 3]
+
+        terms = {}
+        proj = st.camera.project(mapped)
+        terms["joint_loss"] = keypoint_loss(proj, st, w.data)
+
+        terms["pprior_loss"] = (opt_vars["pose_embedding"] ** 2).sum() * \
+            w.body_pose ** 2
+        terms["shape_loss"] = l2_prior(betas) * w.shape ** 2
+        body_pose_full = out["full_pose"][:, 3:66]
+        terms["angle_prior_loss"] = angle_prior(body_pose_full).sum() * \
+            (w.bending_factor * w.body_pose) ** 2
+        terms["hand_prior_loss"] = (
+            l2_prior(opt_vars["left_hand_pose"]) +
+            l2_prior(opt_vars["right_hand_pose"])) * w.hand_prior ** 2
+        terms["expression_loss"] = l2_prior(opt_vars["expression"]) * \
+            w.expr ** 2
+        terms["jaw_prior_loss"] = l2_prior(opt_vars["jaw_pose"] * w.jaw)
+
+        if w.coll > 0 and st.faces is not None:
+            terms["self_penetration_loss"] = w.coll * \
+                batched_self_intersection(
+                    verts, st.faces, segm=st.faces_segm,
+                    ign_table=st.ign_table).sum()
+        else:
+            terms["self_penetration_loss"] = 0.0
+
+        if (w.s2m > 0 or w.m2s > 0) and st.scan is not None:
+            s2m, m2s = depth_terms(verts, st, w)
+            terms["s2m_dist"], terms["m2s_dist"] = s2m, m2s
+        else:
+            terms["s2m_dist"] = terms["m2s_dist"] = 0.0
+
+        verts_world = to_world(verts, st.R, st.t)
+        joints_world = to_world(joints_all, st.R, st.t)
+
+        if w.sdf_penetration > 0 and st.sdf is not None:
+            sdf_vals = sample_sdf_world(st.sdf, verts_world, st.grid_min,
+                                        st.grid_max)
+            pen = jnp.where(sdf_vals < 0, -sdf_vals, 0.0)
+            terms["sdf_penetration_loss"] = w.sdf_penetration * pen.sum()
+        else:
+            terms["sdf_penetration_loss"] = 0.0
+
+        if (w.friction_normal > 0 or w.friction_tangent > 0) and \
+                st.fric_verts_ids is not None and st.sdf is not None:
+            lt, ln = friction_terms(verts_world, st, w)
+            terms["loss_fric_tangent"], terms["loss_fric_normal"] = lt, ln
+        else:
+            terms["loss_fric_tangent"] = terms["loss_fric_normal"] = 0.0
+
+        if w.contact > 0 and st.scene_verts is not None:
+            terms["contact_loss"] = contact_term(verts_world, st, w)
+        else:
+            terms["contact_loss"] = 0.0
+
+        if st.smooth_marker_ids is not None:
+            markers_s = verts[:, st.smooth_marker_ids, :]
+            if w.smooth_acc > 0:
+                mv = markers_s[1:] - markers_s[:-1]
+                terms["smooth_acc_loss"] = ((mv[1:] - mv[:-1]) ** 2).mean() * \
+                    w.smooth_acc
+            else:
+                terms["smooth_acc_loss"] = 0.0
+            if w.smooth_vel > 0:
+                terms["smooth_vel_loss"] = \
+                    ((markers_s[1:] - markers_s[:-1]) ** 2).mean() * w.smooth_vel
+            else:
+                terms["smooth_vel_loss"] = 0.0
+            if w.motion_smooth > 0 and st.smooth_enc_params is not None:
+                terms["motion_prior_smooth_loss"] = w.motion_smooth * \
+                    smoothness_prior_loss(
+                        st.smooth_enc_params,
+                        verts_world[:, st.smooth_marker_ids, :],
+                        joints_world[0, :25], st.smooth_stats)
+            else:
+                terms["motion_prior_smooth_loss"] = 0.0
+        else:
+            terms["smooth_acc_loss"] = terms["smooth_vel_loss"] = 0.0
+            terms["motion_prior_smooth_loss"] = 0.0
+
+        if (w.motion_infill_rec > 0 and st.infill_targets is not None):
+            mi, mic = infill_terms(verts_world, st, w)
+            terms["motion_infill_loss"] = mi
+            terms["motion_infill_contact_loss"] = mic
+        else:
+            terms["motion_infill_loss"] = 0.0
+            terms["motion_infill_contact_loss"] = 0.0
+
+        total = sum(terms.values())
+        terms["total_loss"] = total
+        return total, terms
+
+    return loss_fn

@@ -1,0 +1,104 @@
+"""Chamfer / nearest-neighbour distances between point sets, TPU-native.
+
+Replaces the reference's external CUDA extension (ChamferDistancePytorch,
+wrapped at temp_prox/dist_chamfer.py and called from the s2m/m2s depth
+terms and the scene-contact term, fitting_temp_slide.py:657-749).
+
+Design: the pairwise-distance matrix is never materialized. Distances are
+computed block-by-block with the expansion ||a-b||^2 = |a|^2 + |b|^2 -
+2 a.b — the cross term is a [N, chunk] matmul that XLA tiles onto the MXU
+— while a running (min, argmin) is carried through a lax.scan over source
+chunks. Memory is O(N * chunk); compute is matmul-bound. Invalid points
+(padding) are masked to +inf. Fully differentiable w.r.t. both clouds
+(gradients flow through the winning distance via the standard min
+subgradient).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _pad_to_multiple(x, multiple, axis, value):
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad, constant_values=value), n
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def nn_distance(
+    query: jnp.ndarray,            # [N, 3]
+    points: jnp.ndarray,           # [M, 3]
+    points_mask: jnp.ndarray | None = None,  # [M] bool/0-1, True = valid
+    chunk: int = 2048,
+):
+    """For each query point, squared distance and index of its nearest
+    valid point. Returns (dist2 [N], idx [N]).
+    """
+    if points_mask is None:
+        points_mask = jnp.ones((points.shape[0],), bool)
+    points, M = _pad_to_multiple(points, chunk, 0, 0.0)
+    points_mask, _ = _pad_to_multiple(
+        points_mask.astype(bool), chunk, 0, False)
+
+    q2 = (query ** 2).sum(-1)  # [N]
+    n_chunks = points.shape[0] // chunk
+    p_chunks = points.reshape(n_chunks, chunk, 3)
+    m_chunks = points_mask.reshape(n_chunks, chunk)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        pc, mc, base = inp
+        p2 = (pc ** 2).sum(-1)  # [chunk]
+        cross = query @ pc.T    # [N, chunk] — MXU
+        d = q2[:, None] + p2[None, :] - 2.0 * cross
+        d = jnp.where(mc[None, :], d, jnp.inf)
+        local_i = jnp.argmin(d, axis=1)
+        local_d = jnp.take_along_axis(d, local_i[:, None], axis=1)[:, 0]
+        better = local_d < best_d
+        best_d = jnp.where(better, local_d, best_d)
+        best_i = jnp.where(better, base + local_i, best_i)
+        return (best_d, best_i), None
+
+    N = query.shape[0]
+    init = (jnp.full((N,), jnp.inf, query.dtype),
+            jnp.zeros((N,), jnp.int32))
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_d, best_i), _ = jax.lax.scan(step, init, (p_chunks, m_chunks, bases))
+    # re-derive the winning distance differentiably through a gather
+    # (the scanned min carries no gradient to `points`)
+    win = points[best_i]
+    d2 = ((query - win) ** 2).sum(-1)
+    return d2, best_i
+
+
+def chamfer_distance(
+    a: jnp.ndarray, b: jnp.ndarray,
+    a_mask: jnp.ndarray | None = None,
+    b_mask: jnp.ndarray | None = None,
+    chunk: int = 2048,
+):
+    """Bidirectional squared Chamfer distances — the CUDA op's interface
+    (temp_prox/dist_chamfer.py:27-45): returns (dist_a [N], dist_b [M],
+    idx_a [N], idx_b [M]) where dist_a[i] = min_j ||a_i - b_j||^2.
+
+    Masks mark valid points; invalid queries get distance 0 (they are
+    padding and must not contribute to losses).
+    """
+    da, ia = nn_distance(a, b, b_mask, chunk)
+    db, ib = nn_distance(b, a, a_mask, chunk)
+    if a_mask is not None:
+        da = jnp.where(a_mask, da, 0.0)
+    if b_mask is not None:
+        db = jnp.where(b_mask, db, 0.0)
+    return da, db, ia, ib
+
+
+batched_chamfer = jax.vmap(chamfer_distance, in_axes=(0, 0, 0, 0))

@@ -1,0 +1,94 @@
+"""Trilinear sampling of scene signed-distance grids.
+
+Replaces the reference's ``F.grid_sample`` 3-D lookups over the 256^3
+scene SDFs (fitting_temp_slide.py:686-694 penetration, :702-705 friction).
+Semantics match torch grid_sample with ``padding_mode='border'`` and
+``align_corners=False`` (the torch-1.4 default the reference runs with),
+with the axis-permutation the reference applies (its ``[2, 1, 0]`` grid
+flip cancels grid_sample's (W, H, D) ordering, so effectively
+``sdf[x, y, z]`` is sampled at the vertex's (x, y, z)) folded in.
+
+Implementation: 8-corner gather + trilinear blend. The gathers flatten to
+1-D takes, which XLA lowers to efficient dynamic-gathers on TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def normalize_points(points: jnp.ndarray, grid_min: jnp.ndarray,
+                     grid_max: jnp.ndarray) -> jnp.ndarray:
+    """World points -> [-1, 1]^3 grid coordinates
+    (fitting_temp_slide.py:686)."""
+    return (points - grid_min) / (grid_max - grid_min) * 2.0 - 1.0
+
+
+def sample_grid_trilinear(grid: jnp.ndarray, coords: jnp.ndarray,
+                          align_corners: bool = False) -> jnp.ndarray:
+    """grid: [D0, D1, D2] (or [D0, D1, D2, C]); coords: [..., 3] in
+    [-1, 1], coords[..., i] indexes grid axis i. Border padding.
+    """
+    has_channels = grid.ndim == 4
+    if not has_channels:
+        grid = grid[..., None]
+    dims = jnp.asarray(grid.shape[:3], coords.dtype)
+
+    if align_corners:
+        pix = (coords + 1.0) / 2.0 * (dims - 1.0)
+    else:
+        pix = ((coords + 1.0) * dims - 1.0) / 2.0
+
+    lo = jnp.floor(pix)
+    frac = pix - lo
+
+    def clamp(ix):
+        return jnp.clip(ix, 0, jnp.asarray(grid.shape[:3]) - 1).astype(jnp.int32)
+
+    c000 = clamp(lo)
+    c111 = clamp(lo + 1.0)
+
+    D0, D1, D2 = grid.shape[:3]
+    flat = grid.reshape(-1, grid.shape[-1])
+
+    def take(i0, i1, i2):
+        idx = (i0 * D1 + i1) * D2 + i2
+        return flat[idx.reshape(-1)].reshape(*idx.shape, grid.shape[-1])
+
+    x0, y0, z0 = c000[..., 0], c000[..., 1], c000[..., 2]
+    x1, y1, z1 = c111[..., 0], c111[..., 1], c111[..., 2]
+    fx, fy, fz = frac[..., 0:1], frac[..., 1:2], frac[..., 2:3]
+
+    v000 = take(x0, y0, z0)
+    v001 = take(x0, y0, z1)
+    v010 = take(x0, y1, z0)
+    v011 = take(x0, y1, z1)
+    v100 = take(x1, y0, z0)
+    v101 = take(x1, y0, z1)
+    v110 = take(x1, y1, z0)
+    v111 = take(x1, y1, z1)
+
+    v00 = v000 * (1 - fz) + v001 * fz
+    v01 = v010 * (1 - fz) + v011 * fz
+    v10 = v100 * (1 - fz) + v101 * fz
+    v11 = v110 * (1 - fz) + v111 * fz
+    v0 = v00 * (1 - fy) + v01 * fy
+    v1 = v10 * (1 - fy) + v11 * fy
+    out = v0 * (1 - fx) + v1 * fx
+    return out[..., 0] if not has_channels else out
+
+
+def sample_sdf_world(sdf_grid: jnp.ndarray, points_world: jnp.ndarray,
+                     grid_min: jnp.ndarray, grid_max: jnp.ndarray):
+    """SDF values at world-space points (border padding, align_corners
+    False)."""
+    coords = normalize_points(points_world, grid_min, grid_max)
+    return sample_grid_trilinear(sdf_grid, coords)
+
+
+def sdf_penetration_loss(sdf_vals: jnp.ndarray, weight: float = 1.0):
+    """sum(|negative sdf|) with the reference's pow(2).sum(-1).sqrt()
+    per-element form (fitting_temp_slide.py:690-694) — elementwise that
+    reduces to the absolute value of each penetrating sample."""
+    pen = jnp.where(sdf_vals < 0, -sdf_vals, 0.0)
+    return weight * pen.sum()

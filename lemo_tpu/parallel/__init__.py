@@ -1,0 +1,7 @@
+"""Device-mesh scaling utilities."""
+
+from lemo_tpu.parallel.sharding import (  # noqa: F401
+    clip_sharded_fit,
+    data_parallel_step,
+    make_mesh,
+)

@@ -1,0 +1,146 @@
+"""PROX sliding-window pipeline end-to-end on a synthetic recording."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lemo_tpu.body_model import load_model
+from lemo_tpu.config import ProxConfig
+from lemo_tpu.data.prox import (ProxRecording, ProxWindowDataset,
+                                read_keypoints, read_prox_pkl,
+                                sliding_windows)
+from lemo_tpu.data.stats import GlobalStats
+from lemo_tpu.fitting.prox.driver import ProxAssets, run_prox_fitting
+from lemo_tpu.priors.conv_ae import init_smooth_enc, load_torch_state_dict
+from lemo_tpu.testing.synthetic_prox import write_synthetic_prox_recording
+
+REF_ENC = "/root/reference/runs/15217/Enc_last_model.pkl"
+
+
+@pytest.fixture(scope="module")
+def prox_base():
+    base = tempfile.mkdtemp()
+    info = write_synthetic_prox_recording(base, num_frames=24, seed=1)
+    return base, info
+
+
+class TestSlidingWindows:
+    def test_reference_stride(self):
+        # 100-frame windows, stride 70 (data_parser_slide.py:199-212)
+        w = sliding_windows(240, 100)
+        assert w[0] == (0, 100)
+        assert w[1] == (70, 170)
+        assert w[-1][1] == 240
+
+    def test_short_sequence_single_window(self):
+        assert sliding_windows(50, 100) == [(0, 50)]
+
+
+class TestProxData:
+    def test_dataset_loads_window(self, prox_base):
+        base, info = prox_base
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        assert rec.scene_name == "SynthArea"
+        ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                               batch_size=16, flip=False)
+        assert len(ds.windows) >= 2
+        wd = ds.load_window(0)
+        assert wd["keypoints"].shape == (16, 118, 3)
+        assert wd["scan"].shape == (16, 20000, 3)
+        assert wd["scan_mask"].any()
+        assert wd["marker_mask"].shape == (16, 67)
+        assert wd["warm_start"]["pose_embedding"].shape == (16, 32)
+
+    def test_scan_points_near_body(self, prox_base):
+        """Depth unprojection must land points near the true body."""
+        base, info = prox_base
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                               batch_size=16, flip=False)
+        wd = ds.load_window(0)
+        pts = wd["scan"][0][wd["scan_mask"][0]]
+        centroid = info["gt_body_centroid"][0]
+        assert len(pts) > 50
+        med = np.median(pts, axis=0)
+        assert np.linalg.norm(med - centroid) < 0.5, (med, centroid)
+
+    def test_cam2world_and_sdf(self, prox_base):
+        base, info = prox_base
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        R, t = rec.load_cam2world()
+        np.testing.assert_allclose(R, info["R_c2w"], atol=1e-6)
+        sdf, lo, hi, normals = rec.load_sdf()
+        assert sdf.shape == (48, 48, 48)
+        assert normals is not None
+
+
+class TestProxFit:
+    def test_full_pipeline_two_windows(self, prox_base):
+        base, info = prox_base
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        if os.path.exists(REF_ENC):
+            enc = load_torch_state_dict(REF_ENC)
+            stats = GlobalStats.load(
+                "/root/reference/preprocess_stats/"
+                "preprocess_stats_smooth_withHand_global_markers.npz")
+        else:
+            enc = init_smooth_enc(jax.random.PRNGKey(0))
+            stats = GlobalStats(np.zeros((1, 1, 243)), np.ones(243))
+
+        out_dir = tempfile.mkdtemp()
+        cfg = ProxConfig(
+            recording_dir=info["recording_dir"],
+            output_folder=out_dir,
+            batch_size=16, maxiters=8, lr=0.005, flip=False,
+            s2m=False, m2s=False, read_depth=False, read_mask=False,
+            init_mode="none",
+            sdf_penetration=True, use_friction=True,
+            use_motion_smooth_prior=True,
+            motion_prior_smooth_weights=[1e2],
+            interpenetration=False, contact=False,
+            use_motion_infill_prior=False,
+        )
+        assets = ProxAssets(model=model,
+                            vposer_params=info["vposer_params"],
+                            smooth_enc_params=enc, smooth_stats=stats)
+        results = run_prox_fitting(cfg, assets, max_windows=2, verbose=False)
+        assert len(results) == 2
+        for r in results:
+            assert np.isfinite(r.final_loss)
+            assert r.params["transl"].shape == (16, 3)
+
+        # per-frame pkls written in the reference schema, and the second
+        # window warm-started from them (resume structure)
+        res_dir = os.path.join(out_dir, info["recording_name"], "results")
+        frames = sorted(os.listdir(res_dir))
+        assert len(frames) >= 16
+        rec0 = read_prox_pkl(os.path.join(res_dir, frames[0], "000.pkl"))
+        assert rec0["transl"].shape == (3,)
+        assert rec0["pose_embedding"].shape == (32,)
+        assert rec0["body_pose"].shape == (63,)
+
+    def test_fit_moves_toward_keypoints(self, prox_base):
+        """With only the 2-D keypoint term, fitting from noisy warm starts
+        must reduce reprojection error."""
+        base, info = prox_base
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        out_dir = tempfile.mkdtemp()
+        cfg = ProxConfig(
+            recording_dir=info["recording_dir"], output_folder=out_dir,
+            batch_size=16, maxiters=40, lr=0.01, flip=False,
+            s2m=False, m2s=False, read_depth=False, read_mask=False,
+            sdf_penetration=False, use_friction=False,
+            use_motion_smooth_prior=False, interpenetration=False,
+            contact=False, use_motion_infill_prior=False,
+        )
+        assets = ProxAssets(model=model,
+                            vposer_params=info["vposer_params"])
+        results = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)
+        hist = results[0].loss_history
+        assert hist[-1] < hist[0], hist[[0, -1]]

@@ -1,0 +1,149 @@
+"""Scene-interaction kernels: Chamfer vs brute force, SDF sampling vs
+torch.grid_sample, z-buffer visibility, self-intersection semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from lemo_tpu.ops import chamfer as ch
+from lemo_tpu.ops import sdf as sdf_ops
+from lemo_tpu.ops import robust
+from lemo_tpu.ops import visibility as vis
+from lemo_tpu.ops import intersection as isect
+
+RNG = np.random.RandomState(21)
+
+
+class TestChamfer:
+    def test_matches_bruteforce(self):
+        a = RNG.randn(500, 3).astype(np.float32)
+        b = RNG.randn(700, 3).astype(np.float32)
+        da, db, ia, ib = ch.chamfer_distance(jnp.asarray(a), jnp.asarray(b),
+                                             chunk=256)
+        D = ((a[:, None] - b[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(da), D.min(1), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ia), D.argmin(1))
+        np.testing.assert_allclose(np.asarray(db), D.min(0), rtol=1e-4, atol=1e-5)
+
+    def test_mask_excludes_padding(self):
+        a = RNG.randn(50, 3).astype(np.float32)
+        b = np.concatenate([RNG.randn(60, 3), np.zeros((40, 3))]).astype(np.float32)
+        mask = np.arange(100) < 60
+        da, _, ia, _ = ch.chamfer_distance(
+            jnp.asarray(a), jnp.asarray(b), None, jnp.asarray(mask), chunk=32)
+        assert np.asarray(ia).max() < 60
+        D = ((a[:, None] - b[None, :60]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(da), D.min(1), rtol=1e-4, atol=1e-5)
+
+    def test_gradients_flow_to_both(self):
+        a = jnp.asarray(RNG.randn(20, 3), jnp.float32)
+        b = jnp.asarray(RNG.randn(30, 3), jnp.float32)
+
+        def loss(a, b):
+            da, db, _, _ = ch.chamfer_distance(a, b, chunk=16)
+            return da.mean() + db.mean()
+
+        ga, gb = jax.grad(loss, argnums=(0, 1))(a, b)
+        assert float(jnp.abs(ga).sum()) > 0
+        assert float(jnp.abs(gb).sum()) > 0
+
+
+class TestSdf:
+    def test_matches_torch_grid_sample(self):
+        grid = RNG.randn(16, 16, 16).astype(np.float32)
+        pts = RNG.uniform(-1.2, 1.2, (200, 3)).astype(np.float32)  # incl. border
+        ours = np.asarray(sdf_ops.sample_grid_trilinear(
+            jnp.asarray(grid), jnp.asarray(pts)))
+        # torch: input [1,1,D,H,W]; grid last dim (x,y,z) indexes (W,H,D).
+        # To sample grid[i,j,k] at pts[:, (0,1,2)], feed grid coords
+        # reversed (z,y,x) like the reference does (fitting_temp_slide:688).
+        tgrid = torch.from_numpy(grid)[None, None]
+        tpts = torch.from_numpy(pts[:, [2, 1, 0]])[None, :, None, None, :]
+        ref = F.grid_sample(tgrid, tpts, padding_mode="border",
+                            align_corners=False)[0, 0, :, 0, 0].numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_world_sampling_floor_plane(self):
+        from lemo_tpu.testing.synthetic import synthetic_sdf_grid
+        s = synthetic_sdf_grid(dim=32)
+        pts = np.array([[0, 0, 0.5], [0, 0, -0.5], [1, 1, 0.05]], np.float32)
+        vals = np.asarray(sdf_ops.sample_sdf_world(
+            jnp.asarray(s["sdf"]), jnp.asarray(pts),
+            jnp.asarray(s["min"], jnp.float32), jnp.asarray(s["max"], jnp.float32)))
+        assert vals[0] > 0 and vals[1] < 0 and abs(vals[2]) < 0.15
+
+    def test_penetration_loss(self):
+        vals = jnp.asarray([-0.1, 0.2, -0.3, 0.0])
+        assert np.isclose(float(sdf_ops.sdf_penetration_loss(vals)), 0.4)
+
+
+class TestRobust:
+    def test_gmof_matches_reference_formula(self):
+        r = jnp.asarray(RNG.randn(100), jnp.float32)
+        rho = 0.5
+        expected = rho**2 * (np.asarray(r)**2 / (np.asarray(r)**2 + rho**2))
+        np.testing.assert_allclose(np.asarray(robust.gmof(r, rho)), expected,
+                                   rtol=1e-5)
+
+    def test_masked_mean_empty(self):
+        v = jnp.ones(5)
+        assert float(robust.masked_mean(v, jnp.zeros(5))) == 0.0
+        assert float(robust.masked_mean(v, jnp.ones(5))) == 1.0
+
+    def test_hinge_above(self):
+        v = jnp.asarray([0.05, 0.2, 0.3])
+        assert np.isclose(float(robust.hinge_above(v, 0.1)), 0.25)
+
+
+class TestVisibility:
+    def test_near_point_occludes_far(self):
+        # two vertices on the same ray: near visible, far hidden
+        verts = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 3.0],
+                             [0.5, 0.2, 2.0]], jnp.float32)
+        v = np.asarray(vis.visibility_zbuffer(
+            verts, fx=1000.0, fy=1000.0, cx=960.0, cy=540.0))
+        assert v[0] and not v[1] and v[2]
+
+    def test_behind_camera_invisible(self):
+        verts = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+        v = np.asarray(vis.visibility_zbuffer(
+            verts, fx=1000.0, fy=1000.0, cx=960.0, cy=540.0))
+        assert not v[0]
+
+    def test_vertex_normals_unit(self):
+        verts = jnp.asarray(RNG.randn(10, 3), jnp.float32)
+        faces = jnp.asarray(RNG.randint(0, 10, (12, 3)), jnp.int32)
+        n = np.asarray(vis.vertex_normals(verts, faces))
+        lens = np.linalg.norm(n, axis=1)
+        assert ((lens < 1e-6) | (np.abs(lens - 1) < 1e-4)).all()
+
+
+class TestSelfIntersection:
+    def _two_tris(self, gap):
+        # two parallel triangles facing each other at distance `gap`
+        # (negative gap = interpenetrating)
+        v = np.array([
+            [0, 0, 0], [1, 0, 0], [0, 1, 0],          # tri A, normal +z
+            [0.1, 0.1, gap], [0.1 + 1, 0.1, gap], [0.1, 1.1, gap],
+        ], np.float32)
+        f = np.array([[0, 1, 2], [3, 5, 4]], np.int32)  # B flipped: normal -z
+        return jnp.asarray(v), jnp.asarray(f)
+
+    def test_separated_faces_no_energy(self):
+        v, f = self._two_tris(gap=2.0)
+        e = float(isect.self_intersection_loss(v, f, max_candidates=1))
+        assert e == 0.0
+
+    def test_penetrating_faces_positive(self):
+        v, f = self._two_tris(gap=-0.05)
+        e = float(isect.self_intersection_loss(v, f, max_candidates=1))
+        assert e > 0.0
+
+    def test_differentiable(self):
+        v, f = self._two_tris(gap=-0.05)
+        g = jax.grad(lambda vv: isect.self_intersection_loss(
+            vv, f, max_candidates=1))(v)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0

@@ -1,0 +1,57 @@
+"""Prior-trainer smoke tests: losses descend on synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lemo_tpu.train import infill as ti
+from lemo_tpu.train import smooth as ts
+from lemo_tpu.train import vposer as tv
+
+RNG = np.random.RandomState(33)
+
+
+def test_smooth_trainer_descends():
+    # tiny synthetic clip images [N, T, d]
+    images = RNG.randn(8, 40, 60).astype(np.float32) * 0.3
+    cfg = ts.SmoothTrainConfig(batch_size=4, lr=1e-3)
+    params, history = ts.train(images, images[:4], cfg, num_steps=8,
+                               log_every=2)
+    assert len(history) >= 2
+    assert history[-1]["total"] < history[0]["total"]
+    assert "test_loss_rec_v" in history[-1]
+
+
+def test_infill_trainer_descends():
+    images = RNG.randn(6, 4, 40, 208).astype(np.float32) * 0.3
+    cfg = ti.InfillTrainConfig(batch_size=3, lr=1e-3)
+    params, history = ti.train(images, cfg, num_steps=6, log_every=2)
+    assert history[-1]["total"] < history[0]["total"]
+
+
+def test_infill_random_mask_shapes():
+    m = ti.random_marker_mask(jax.random.PRNGKey(0), 4, 208, 40)
+    m = np.asarray(m)
+    assert m.shape == (4, 208, 40)
+    # pelvis rows never masked
+    assert (m[:, :3] == 1).all()
+    # some marker rows masked
+    assert (m[:, 3:204] == 0).any()
+
+
+def test_infill_prox_mask_conversion():
+    prox = np.ones((2, 50, 201), np.float32)
+    prox[0, :, 16 * 3:16 * 3 + 3] = 0  # left heel occluded
+    img_mask = ti.prox_mask_to_image_mask(prox, 208, 40)
+    assert img_mask.shape == (2, 208, 40)
+    assert (img_mask[0, -4] == 0).all()   # left-heel contact row masked
+    assert (img_mask[1, -4] == 1).all()
+
+
+def test_vposer_trainer_descends():
+    poses = (RNG.randn(64, 63) * 0.3).astype(np.float32)
+    cfg = tv.VPoserTrainConfig(batch_size=16, lr=1e-3)
+    params, history = tv.train(poses, cfg, num_steps=20, log_every=5)
+    assert history[-1]["total"] < history[0]["total"] * 1.5
+    assert np.isfinite(history[-1]["kl"])
