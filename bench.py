@@ -44,7 +44,7 @@ def main() -> None:
 
     rng = np.random.RandomState(0)
     T = 100            # window size (reference batch_size)
-    steps = 60         # scan length per timed call
+    steps = 20         # scan length per timed call
 
     model = load_model(synthetic_smplx_npz(full_size=True),
                        use_pca=True, num_pca_comps=12)
@@ -70,16 +70,18 @@ def main() -> None:
                          + np.array([0, 0.4, 1.0], np.float32))
     contact = jnp.asarray((rng.rand(T, 4) > 0.5).astype(np.float32))
 
+    fit = s2.make_temporal_fitter(model, vposer_params, enc, stats,
+                                  ids67, ids81, feet, num_steps=steps)
+    init72_j = jnp.asarray(init72)
+
     def run():
-        fitted, losses = s2.fit_clip_temporal(
-            model, vposer_params, enc, stats, ids67, ids81, feet,
-            target, contact, jnp.asarray(init72), num_steps=steps)
+        fitted, losses = fit(target, contact, init72_j)
         jax.block_until_ready(fitted)
         return losses
 
     run()  # warmup / compile
     t0 = time.perf_counter()
-    n_calls = 3
+    n_calls = 10
     for _ in range(n_calls):
         losses = run()
     dt = time.perf_counter() - t0

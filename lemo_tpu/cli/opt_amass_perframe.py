@@ -97,6 +97,11 @@ def main(argv=None):
                                args.weight_loss_vposer,
                                args.weight_loss_shape,
                                args.weight_loss_hand)
+    # one compiled fitter per gender, reused across clips
+    fitters = ({g: s1.make_stage1_fitter(m, vposer_params, marker_ids,
+                                         args.num_fit_steps, weights)
+                for g, m in models.items()}
+               if args.fit_mode == "parallel" else None)
 
     for i in range(args.start, min(args.end, len(clips)), args.step):
         clip_img = jnp.asarray(images_n[i]).swapaxes(1, 2)[None]  # [1,4,d,T]
@@ -111,12 +116,16 @@ def main(argv=None):
         targets = s1.reconstruct_marker_targets(
             rec[0], clip_img[0], stats,
             jnp.asarray(aux["rot_0_pivot"][i]))
-        model = models["male" if aux["gender"][i] == 1 else "female"]
-        fitted, _ = s1.fit_clip(model, vposer_params, marker_ids, targets,
-                                jnp.asarray(aux["betas"][i]),
-                                mode=args.fit_mode,
-                                num_steps=args.num_fit_steps,
-                                weights=weights)
+        gender = "male" if aux["gender"][i] == 1 else "female"
+        if fitters is not None:
+            fitted, _ = fitters[gender](targets, jnp.asarray(aux["betas"][i]))
+        else:
+            fitted, _ = s1.fit_clip(models[gender], vposer_params,
+                                    marker_ids, targets,
+                                    jnp.asarray(aux["betas"][i]),
+                                    mode=args.fit_mode,
+                                    num_steps=args.num_fit_steps,
+                                    weights=weights)
         np.save(os.path.join(save_folder, f"body_params_opt_clip_{i}.npy"),
                 np.asarray(fitted))
         print(f"[clip {i}] saved ({fitted.shape[0]} frames)")

@@ -106,6 +106,10 @@ def main(argv=None):
         vposer=args.weight_loss_vposer, shape=args.weight_loss_shape,
         hand=args.weight_loss_hand, smooth=args.weight_loss_smooth,
         contact_vel=args.weight_loss_contact_vel)
+    # one compiled fitter per gender, reused across clips
+    fitters = {g: s2.make_temporal_fitter(
+        m, vposer_params, enc, smooth_stats, ids67, ids81, feet,
+        args.num_fit_steps, weights) for g, m in models.items()}
 
     for i in range(args.start, min(args.end, len(clips)), args.step):
         init_path = os.path.join(args.perframe_res_dir, args.dataset_name,
@@ -123,11 +127,8 @@ def main(argv=None):
         targets = s1.reconstruct_marker_targets(
             rec[0], clip_img[0], stats, jnp.asarray(aux["rot_0_pivot"][i]))
 
-        model = models["male" if aux["gender"][i] == 1 else "female"]
-        fitted, _ = s2.fit_clip_temporal(
-            model, vposer_params, enc, smooth_stats, ids67, ids81, feet,
-            targets, contact, jnp.asarray(init72),
-            num_steps=args.num_fit_steps, weights=weights)
+        gender = "male" if aux["gender"][i] == 1 else "female"
+        fitted, _ = fitters[gender](targets, contact, jnp.asarray(init72))
         np.save(os.path.join(save_folder, f"body_params_opt_clip_{i}.npy"),
                 np.asarray(fitted))
         print(f"[clip {i}] refined ({fitted.shape[0]} frames)")

@@ -109,13 +109,32 @@ def make_stage1_loss(model: SmplxModel, vposer_params, marker_ids,
     return loss_fn
 
 
-@partial(jax.jit, static_argnames=("loss_fn", "num_steps"))
-def _fit_parallel(loss_fn, init_vars, shape10, markers_target,
-                  lr_table, num_steps):
-    final, losses, _ = run_adam(
-        lambda v: loss_fn(v, shape10, markers_target),
-        init_vars, num_steps, lr_table)
-    return final, losses
+def make_stage1_fitter(
+    model: SmplxModel,
+    vposer_params: dict,
+    marker_ids,
+    num_steps: int = 100,
+    weights: Stage1Weights = Stage1Weights(),
+):
+    """Build a reusable jit-compiled parallel Stage-1 fitter:
+    ``fit(markers_target [T,67,3], beta [10]) -> ([T,72], losses)``.
+    Compiles once; reuse across clips (a fresh closure per clip would
+    re-trace the whole scan each call)."""
+    loss_fn = make_stage1_loss(model, vposer_params, marker_ids, weights)
+    lr_table = piecewise_lr([(0, 0.1), (int(num_steps * 0.6), 0.01),
+                             (int(num_steps * 0.8), 0.003)], num_steps)
+
+    @jax.jit
+    def fit(markers_target, beta):
+        T = markers_target.shape[0]
+        shape10 = jnp.broadcast_to(beta[None], (T, 10))
+        init = default_init(T)
+        final, losses, _ = run_adam(
+            lambda v: loss_fn(v, shape10, markers_target),
+            init, num_steps, lr_table)
+        return _params72(final, shape10), losses
+
+    return fit
 
 
 def fit_clip(
@@ -128,18 +147,19 @@ def fit_clip(
     num_steps: int = 100,
     weights: Stage1Weights = Stage1Weights(),
 ):
-    """Fit a clip to its marker targets. Returns ([T, 72] params, losses)."""
+    """Fit a clip to its marker targets. Returns ([T, 72] params, losses).
+
+    One-shot convenience (traces per call); loops over clips should build
+    the fitter once via :func:`make_stage1_fitter`.
+    """
     T = markers_target.shape[0]
     shape10 = jnp.broadcast_to(beta[None], (T, 10))
     loss_fn = make_stage1_loss(model, vposer_params, marker_ids, weights)
 
     if mode == "parallel":
-        init = default_init(T)
-        lr_table = piecewise_lr([(0, 0.1), (int(num_steps * 0.6), 0.01),
-                                 (int(num_steps * 0.8), 0.003)], num_steps)
-        final, losses = _fit_parallel(loss_fn, init, shape10, markers_target,
-                                      lr_table, num_steps)
-        return _params72(final, shape10), losses
+        fit = make_stage1_fitter(model, vposer_params, marker_ids,
+                                 num_steps, weights)
+        return fit(markers_target, beta)
 
     if mode == "sequential":
         # reference-faithful warm-start chain over frames

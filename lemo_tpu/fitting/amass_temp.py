@@ -88,7 +88,7 @@ def contact_friction_loss(verts, contact_lbl, foot_ids, fps: float = 30.0,
     return total
 
 
-def fit_clip_temporal(
+def make_temporal_fitter(
     model: SmplxModel,
     vposer_params: dict,
     smooth_enc_params: dict,
@@ -96,25 +96,22 @@ def fit_clip_temporal(
     marker_ids_67,
     marker_ids_81,
     foot_ids: dict,
-    markers_target: jnp.ndarray,  # [T, 67, 3]
-    contact_lbl: jnp.ndarray,     # [T, 4]
-    init72: jnp.ndarray,          # [T, 72] Stage-1 solution
     num_steps: int = 100,
     weights: Stage2Weights = Stage2Weights(),
 ):
-    """Returns ([T, 72] refined params, per-step losses)."""
+    """Build a reusable jit-compiled Stage-2 fitter.
+
+    Returns ``fit(markers_target, contact_lbl, init72) -> (x72, losses)``
+    that compiles ONCE and is reused across clips — calling a fresh
+    closure per clip would re-trace the whole 100-step scan every time
+    (tens of seconds of compile on each call).
+    """
     fwd = make_forward_fn(model)
     ids67 = jnp.asarray(marker_ids_67)
     ids81 = jnp.asarray(marker_ids_81)
-    shape10 = init72[:, 6:16]  # betas frozen (opt_amass_temp.py:335)
+    lr_table = piecewise_lr([(0, 0.01), (61, 0.005)], num_steps)
 
-    init_vars = {
-        "transl": init72[:, 0:3],
-        "rot6d": aa_to_rot6d(init72[:, 3:6]),
-        "other": init72[:, 16:],
-    }
-
-    def loss_fn(v):
+    def loss_fn(v, shape10, markers_target, contact_lbl):
         x72 = jnp.concatenate(
             [v["transl"], rot6d_to_aa(v["rot6d"]), shape10, v["other"]],
             axis=-1)
@@ -137,10 +134,42 @@ def fit_clip_temporal(
                 + weights.smooth * loss_smooth
                 + weights.contact_vel * loss_cv)
 
-    lr_table = piecewise_lr([(0, 0.01), (61, 0.005)], num_steps)
-    final, losses, _ = jax.jit(
-        lambda iv: run_adam(loss_fn, iv, num_steps, lr_table))(init_vars)
-    x72 = jnp.concatenate(
-        [final["transl"], rot6d_to_aa(final["rot6d"]), shape10,
-         final["other"]], axis=-1)
-    return x72, losses
+    @jax.jit
+    def fit(markers_target, contact_lbl, init72):
+        shape10 = init72[:, 6:16]  # betas frozen (opt_amass_temp.py:335)
+        init_vars = {
+            "transl": init72[:, 0:3],
+            "rot6d": aa_to_rot6d(init72[:, 3:6]),
+            "other": init72[:, 16:],
+        }
+        final, losses, _ = run_adam(
+            lambda v: loss_fn(v, shape10, markers_target, contact_lbl),
+            init_vars, num_steps, lr_table)
+        x72 = jnp.concatenate(
+            [final["transl"], rot6d_to_aa(final["rot6d"]), shape10,
+             final["other"]], axis=-1)
+        return x72, losses
+
+    return fit
+
+
+def fit_clip_temporal(
+    model: SmplxModel,
+    vposer_params: dict,
+    smooth_enc_params: dict,
+    smooth_stats: GlobalStats,
+    marker_ids_67,
+    marker_ids_81,
+    foot_ids: dict,
+    markers_target: jnp.ndarray,  # [T, 67, 3]
+    contact_lbl: jnp.ndarray,     # [T, 4]
+    init72: jnp.ndarray,          # [T, 72] Stage-1 solution
+    num_steps: int = 100,
+    weights: Stage2Weights = Stage2Weights(),
+):
+    """One-shot convenience wrapper (traces per call — for loops over many
+    clips build the fitter once with :func:`make_temporal_fitter`)."""
+    fit = make_temporal_fitter(model, vposer_params, smooth_enc_params,
+                               smooth_stats, marker_ids_67, marker_ids_81,
+                               foot_ids, num_steps, weights)
+    return fit(markers_target, contact_lbl, init72)

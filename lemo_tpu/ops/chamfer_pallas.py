@@ -1,0 +1,134 @@
+"""Pallas TPU kernel for nearest-neighbour (Chamfer) distances.
+
+The XLA path (:mod:`lemo_tpu.ops.chamfer`) computes blockwise distance
+matrices with matmuls and carries a running min through a scan — each
+scan step round-trips the [N, chunk] distance block through HBM. This
+Pallas kernel keeps the query tile and the running (min, argmin) in VMEM
+across the whole sweep over the point cloud: one HBM read per operand
+tile, the MXU does the cross term, the VPU folds the min — the fusion XLA
+won't do across scan steps.
+
+Grid: (num_query_tiles,). Each program owns a [TQ, 3] query tile and
+iterates the points in [TP, 3] tiles with a fori_loop, maintaining
+[TQ] best-distance / best-index registers in VMEM scratch.
+
+Falls back to the XLA implementation on non-TPU backends (the kernel is
+also exercised in interpret mode by the test suite).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lemo_tpu.ops.chamfer import nn_distance as _nn_distance_xla
+
+_TQ = 256   # query tile (sublane-friendly)
+_TP = 512   # points tile per inner step
+
+
+def _kernel(q_ref, p_ref, mask_ref, dist_ref, idx_ref):
+    """One query tile vs all point tiles.
+
+    q_ref: [TQ, 4] queries (xyz + zero pad), p_ref: [P, 4], mask_ref
+    [P, 1] (1 = valid), dist_ref/idx_ref: [TQ, 1] outputs.
+    """
+    q = q_ref[:]  # [TQ, 4]
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)  # [TQ, 1]
+    P = p_ref.shape[0]
+    n_tiles = P // _TP
+
+    def body(t, carry):
+        best_d, best_i = carry
+        p = p_ref[pl.ds(t * _TP, _TP), :]            # [TP, 4]
+        m = mask_ref[pl.ds(t * _TP, _TP), :]         # [TP, 1]
+        p2 = jnp.sum(p * p, axis=1)[None, :]         # [1, TP]
+        cross = jax.lax.dot_general(
+            q, p, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [TQ, TP] on the MXU
+        d = q2 + p2 - 2.0 * cross
+        d = jnp.where(m[:, 0][None, :] > 0, d, jnp.inf)
+        loc = jnp.argmin(d, axis=1)                  # [TQ]
+        dmin = jnp.min(d, axis=1)                    # [TQ]
+        better = dmin < best_d
+        best_d = jnp.where(better, dmin, best_d)
+        best_i = jnp.where(better, t * _TP + loc.astype(jnp.int32), best_i)
+        return best_d, best_i
+
+    init = (jnp.full((_TQ,), jnp.inf, jnp.float32),
+            jnp.zeros((_TQ,), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
+    dist_ref[:] = best_d[:, None]
+    idx_ref[:] = best_i[:, None]
+
+
+def _pad_rows(x, multiple, value=0.0):
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        pad = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad, constant_values=value)
+    return x, n
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def nn_distance_pallas(query: jnp.ndarray, points: jnp.ndarray,
+                       points_mask: jnp.ndarray | None = None,
+                       interpret: bool = False):
+    """Pallas nearest-neighbour: same contract as chamfer.nn_distance.
+
+    query [N, 3], points [M, 3] -> (dist2 [N], idx [N]).
+    """
+    N = query.shape[0]
+    if points_mask is None:
+        points_mask = jnp.ones((points.shape[0],), jnp.float32)
+    q4, _ = _pad_rows(jnp.concatenate(
+        [query, jnp.zeros((query.shape[0], 1), query.dtype)], axis=1), _TQ)
+    p4, _ = _pad_rows(jnp.concatenate(
+        [points, jnp.zeros((points.shape[0], 1), points.dtype)], axis=1), _TP)
+    m, _ = _pad_rows(points_mask.astype(jnp.float32)[:, None], _TP, 0.0)
+
+    n_q_tiles = q4.shape[0] // _TQ
+    dist, idx = pl.pallas_call(
+        _kernel,
+        grid=(n_q_tiles,),
+        in_specs=[
+            pl.BlockSpec((_TQ, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p4.shape[0], 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TQ, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TQ, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q4.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((q4.shape[0], 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(jax.lax.stop_gradient(q4), jax.lax.stop_gradient(p4), m)
+    # the kernel only selects the winner; gradients flow through the
+    # differentiable gather below, so the pallas_call itself needs no VJP
+    dist = dist[:N, 0]
+    idx = idx[:N, 0]
+    # differentiable re-derivation through a gather (as in the XLA path)
+    win = points[idx]
+    d2 = ((query - win) ** 2).sum(-1)
+    return d2, idx
+
+
+def nn_distance_best(query, points, points_mask=None, chunk: int = 2048):
+    """Dispatch: Pallas kernel on TPU, XLA scan elsewhere."""
+    if jax.default_backend() == "tpu":
+        return nn_distance_pallas(query, points, points_mask)
+    return _nn_distance_xla(query, points, points_mask, chunk)
