@@ -28,7 +28,7 @@ import numpy as np
 from lemo_tpu.body_model import SmplxModel, load_model, make_forward_fn
 from lemo_tpu.data import markers as mk
 from lemo_tpu.data import repr as rep
-from lemo_tpu.data.stats import GlobalStats, Local4ChanStats
+from lemo_tpu.data.stats import GlobalStats, Local4ChanStats, LocalFlatStats
 
 AMASS_TRAIN_DATASETS = [
     "HumanEva", "MPI_HDM05", "MPI_mosh", "Transitions_mocap", "ACCAD",
@@ -158,6 +158,32 @@ class AmassRepresentationBuilder:
         return rep.local_markers_4chan(pm, contact,
                                        smooth_forward=smooth_forward)
 
+    def local_markers(self, clip: Clip, T: int, smooth_forward: bool = True):
+        """([T-1, 3+(1+67)*3+4], pivot) single-channel infill mode
+        (mode='local_markers', train_loader_infill.py:261-264)."""
+        markers, joints = self.markers_and_joints(clip, T)
+        joints_n = rep.normalize_to_frame0(joints[:, :25], joints[0, :25])
+        markers_n = rep.normalize_to_frame0(markers, joints[0, :25])
+        contact = rep.contact_labels_from_markers(markers_n)
+        pm = jnp.concatenate([joints_n[:, 0:1], markers_n], axis=1)
+        return rep.local_markers_flat(pm, contact,
+                                      smooth_forward=smooth_forward)
+
+    def global_joints(self, clip: Clip, T: int, with_hand: bool = False):
+        """[T, 25*3 or 55*3] (mode='global_joints',
+        train_loader_smooth.py:148-156)."""
+        _, joints = self.markers_and_joints(clip, T)
+        k = 55 if with_hand else 25
+        j = rep.normalize_to_frame0(joints[:, :k], joints[0, :25])
+        return j.reshape(j.shape[0], -1)
+
+    def local_joints(self, clip: Clip, T: int, with_hand: bool = False):
+        """[T, 25*3 or 55*3] pelvis-relative (mode='local_joints',
+        train_loader_smooth.py:158-162)."""
+        _, joints = self.markers_and_joints(clip, T)
+        k = 55 if with_hand else 25
+        return rep.local_joint_image(joints[:, :k], joints[0, :25])
+
 
 def build_dataset(
     builder: AmassRepresentationBuilder,
@@ -182,6 +208,15 @@ def build_dataset(
         elif mode == "local_markers_4chan":
             img, pivot = builder.local_markers_4chan(
                 clip, T, smooth_forward=smooth_forward)
+        elif mode == "local_markers":
+            img, pivot = builder.local_markers(
+                clip, T, smooth_forward=smooth_forward)
+        elif mode == "global_joints":
+            img = builder.global_joints(clip, T)
+            pivot = jnp.zeros(())
+        elif mode == "local_joints":
+            img = builder.local_joints(clip, T)
+            pivot = jnp.zeros(())
         else:
             raise ValueError(mode)
         images.append(np.asarray(img))
@@ -201,11 +236,14 @@ def compute_or_load_stats(images: np.ndarray, mode: str, path: str,
                           split: str = "train"):
     """Train split: compute + persist; test split: load
     (train_loader_smooth.py:188-204)."""
+    cls = {"global_markers": GlobalStats, "global_joints": GlobalStats,
+           "local_joints": GlobalStats,  # (train_loader_smooth.py:196-204)
+           "local_markers": LocalFlatStats,
+           "local_markers_4chan": Local4ChanStats,
+           "local_joints_4chan": Local4ChanStats}[mode]
     if split == "train":
-        stats = (GlobalStats if mode == "global_markers"
-                 else Local4ChanStats).compute(images)
+        stats = cls.compute(images)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         stats.save(path)
         return stats
-    return (GlobalStats if mode == "global_markers"
-            else Local4ChanStats).load(path)
+    return cls.load(path)

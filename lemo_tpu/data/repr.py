@@ -140,6 +140,29 @@ def local_markers_4chan(pelvis_and_markers: jnp.ndarray,
     return img, rot_0_pivot
 
 
+def local_markers_flat(pelvis_and_markers: jnp.ndarray,
+                       contact_lbls: jnp.ndarray,
+                       smooth_forward: bool = False):
+    """Single-channel local representation [T-1, 3 + (1+67)*3 + 4]:
+    [global vel x, y, rot vel | local pose | contact labels] — the
+    'local_markers' body mode (train_loader_infill.py:261-264). Returns
+    (flat image, rot_0_pivot)."""
+    img4, rot0 = local_markers_4chan(pelvis_and_markers, contact_lbls,
+                                     smooth_forward=smooth_forward)
+    local_and_contact = img4[0]            # [T-1, d]
+    gvel = jnp.stack([img4[1][:, 0], img4[2][:, 0], img4[3][:, 0]], axis=1)
+    return jnp.concatenate([gvel, local_and_contact], axis=-1), rot0
+
+
+def local_joint_image(joints: jnp.ndarray,
+                      joints_frame0: jnp.ndarray) -> jnp.ndarray:
+    """[T, K, 3] joints -> pelvis-relative flat image [T, K*3]
+    (mode='local_joints', train_loader_smooth.py:158-162)."""
+    j = normalize_to_frame0(joints, joints_frame0)
+    rel = j.at[:, 1:].add(-j[:, 0:1])
+    return rel.reshape(rel.shape[0], -1)
+
+
 def global_marker_image(markers: jnp.ndarray,
                         joints_frame0: jnp.ndarray) -> jnp.ndarray:
     """[T, n, 3] markers -> frame-0-normalized flat clip image [T, n*3]

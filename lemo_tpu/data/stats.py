@@ -50,6 +50,44 @@ class GlobalStats:
 
 
 @dataclasses.dataclass
+class LocalFlatStats:
+    """Single-channel local_markers/local_joints statistics
+    (train_loader_infill.py:287-302): per-dim mean with contact dims
+    pinned, blockwise stds (global vel xy / rot vel / local pose)."""
+
+    Xmean: np.ndarray  # [d]
+    Xstd: np.ndarray   # [d]
+
+    @classmethod
+    def compute(cls, clips: np.ndarray) -> "LocalFlatStats":
+        """clips: [N, T, d] with layout [gvel(3) | local | contact(4)]."""
+        Xmean = clips.mean(axis=1).mean(axis=0)
+        Xmean[-4:] = 0.0
+        Xstd = np.ones(clips.shape[-1])
+        Xstd[0:2] = clips[:, :, 0:2].std()
+        Xstd[2] = clips[:, :, 2].std()
+        Xstd[3:-4] = clips[:, :, 3:-4].std()
+        Xstd[-4:] = 1.0
+        return cls(Xmean=Xmean, Xstd=Xstd)
+
+    def normalize(self, x):
+        return (x - jnp.asarray(self.Xmean, x.dtype)) / \
+            jnp.asarray(self.Xstd, x.dtype)
+
+    def denormalize(self, x):
+        return x * jnp.asarray(self.Xstd, x.dtype) + \
+            jnp.asarray(self.Xmean, x.dtype)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, Xmean=self.Xmean, Xstd=self.Xstd)
+
+    @classmethod
+    def load(cls, path: str) -> "LocalFlatStats":
+        z = np.load(path)
+        return cls(Xmean=np.asarray(z["Xmean"]), Xstd=np.asarray(z["Xstd"]))
+
+
+@dataclasses.dataclass
 class Local4ChanStats:
     """Infill-prior (local_markers_4chan) statistics."""
 

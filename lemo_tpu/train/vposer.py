@@ -71,6 +71,31 @@ def make_train_step(cfg: VPoserTrainConfig, body_fwd=None,
     return train_step, opt
 
 
+def prepare_amass_poses(amass_dir: str, datasets, max_frames: int = 200000,
+                        stride: int = 5):
+    """AMASS npz sequences -> [N, 63] body-pose training matrix (the
+    human_body_prior/data/prepare_data.py capability)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    chunks = []
+    total = 0
+    for ds in datasets:
+        for fn in sorted(glob.glob(os.path.join(amass_dir, ds, "*",
+                                                "*_poses.npz"))):
+            poses = np.load(fn)["poses"][::stride, 3:66]
+            chunks.append(poses.astype(np.float32))
+            total += len(poses)
+            if total >= max_frames:
+                break
+        if total >= max_frames:
+            break
+    return np.concatenate(chunks)[:max_frames] if chunks else \
+        np.zeros((0, 63), np.float32)
+
+
 def train(poses_aa, cfg: VPoserTrainConfig, num_steps: int, seed: int = 0,
           body_fwd=None, body_consts=None, log_every: int = 200):
     """poses_aa: [N, 63] axis-angle body poses (AMASS frames)."""
