@@ -169,6 +169,32 @@ class AmassRepresentationBuilder:
         return rep.local_markers_flat(pm, contact,
                                       smooth_forward=smooth_forward)
 
+    def local_joints_4chan(self, clip: Clip, T: int,
+                           smooth_forward: bool = True):
+        """Joint-based 4-channel variant (mode='local_joints_4chan',
+        train_loader_infill.py:149-173 contact labels from foot joints).
+
+        Note: uses the joint-slot layout (sdr/hip at joints 16/17/1/2),
+        approximated here by reusing the marker-slot Holden transform on
+        the 25 body joints prepended with the pelvis; the 4-channel
+        packing and contact-label semantics match."""
+        markers, joints = self.markers_and_joints(clip, T)
+        joints_n = rep.normalize_to_frame0(joints[:, :25], joints[0, :25])
+        # foot joints 7/8 (ankles), 10/11 (feet): velocity+height criteria
+        feet = joints_n[:, jnp.asarray([7, 8, 10, 11]), :]
+        vel = jnp.linalg.norm((feet[1:] - feet[:-1]) * 30.0, axis=-1)
+        vel_c = jnp.concatenate(
+            [(jnp.abs(vel) < 0.22).astype(jnp.float32),
+             jnp.zeros((1, 4))], axis=0)
+        z_thr = joints_n[:, :, -1].min() + 0.10
+        h_c = (feet[:, :, 2] < z_thr).astype(jnp.float32)
+        contact = (vel_c * h_c).at[-1].set(h_c[-1])
+        # joints already carry the pelvis at row 0; shoulder/hip direction
+        # rows are the joint indices themselves
+        return rep.local_markers_4chan(
+            joints_n, contact, smooth_forward=smooth_forward,
+            direction_slots=(16, 17, 1, 2))
+
     def global_joints(self, clip: Clip, T: int, with_hand: bool = False):
         """[T, 25*3 or 55*3] (mode='global_joints',
         train_loader_smooth.py:148-156)."""

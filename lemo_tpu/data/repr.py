@@ -88,7 +88,8 @@ def _forward_direction(body_xzy: jnp.ndarray, sdr_l, sdr_r, hip_l, hip_r,
 
 def local_markers_4chan(pelvis_and_markers: jnp.ndarray,
                         contact_lbls: jnp.ndarray,
-                        smooth_forward: bool = False):
+                        smooth_forward: bool = False,
+                        direction_slots: tuple | None = None):
     """Holden-style local 4-channel motion image.
 
     pelvis_and_markers: [T, 1+67, 3] in z-up world/frame-0 coords (row 0 is
@@ -116,9 +117,14 @@ def local_markers_4chan(pelvis_and_markers: jnp.ndarray,
     body = body.at[:, :, 0].add(-body[:, 0:1, 0])
     body = body.at[:, :, 2].add(-body[:, 0:1, 2])
 
-    # heading removal (marker slot s sits at row s+2: reference + pelvis)
-    fwd = _forward_direction(body, mk.SDR_L + 2, mk.SDR_R + 2,
-                             mk.HIP_L + 2, mk.HIP_R + 2, smooth_forward)
+    # heading removal. `direction_slots` are shoulder/hip row indices into
+    # the INPUT array (before the reference row is prepended); the marker
+    # default is slot+1 for the pelvis row (train_loader_infill.py:234-237;
+    # joint modes pass the joint indices directly).
+    sdr_l, sdr_r, hip_l, hip_r = direction_slots or (
+        mk.SDR_L + 1, mk.SDR_R + 1, mk.HIP_L + 1, mk.HIP_R + 1)
+    fwd = _forward_direction(body, sdr_l + 1, sdr_r + 1,
+                             hip_l + 1, hip_r + 1, smooth_forward)
     target = jnp.zeros_like(fwd).at[:, 2].set(1.0)
     rotation = quat.between(fwd, target)  # [T, 4]
     body = quat.qrot(rotation[:, None, :], body)

@@ -171,6 +171,13 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
     os.makedirs(result_folder, exist_ok=True)
     with open(osp.join(output_folder, "conf.yaml"), "w") as fh:
         yaml.safe_dump(dataclasses.asdict(cfg), fh)
+    try:
+        from lemo_tpu.utils.logging import RunLogger
+
+        logger = RunLogger(osp.join(output_folder, "tensorboard_log"),
+                           use_tensorboard=True)
+    except Exception:
+        logger = None
 
     ds = ProxWindowDataset(
         rec, output_params_dir=output_folder, batch_size=cfg.batch_size,
@@ -224,6 +231,15 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
             maxiters=cfg.maxiters, lr=cfg.lr)
         save_window_pkls(result, wd["fns"], result_folder)
         results.append(result)
+        # per-term optimizer scalars, as the reference logs each closure
+        # call to tensorboard (fitting_temp_slide.py:293-307)
+        if logger is not None and result.term_history:
+            start_step = widx * cfg.maxiters
+            stride = max(cfg.maxiters // 50, 1)
+            for s in range(0, cfg.maxiters, stride):
+                logger.log_scalars("optimize", {
+                    k: float(v[s]) for k, v in result.term_history.items()
+                }, start_step + s)
         if verbose:
             print(f"[window {widx + 1}/{n_windows}] frames "
                   f"{ds.windows[widx]}: loss {result.final_loss:.4f} "

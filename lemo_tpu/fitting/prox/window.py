@@ -31,6 +31,7 @@ class WindowResult:
     body_pose: np.ndarray               # [T, 63]
     final_loss: float
     loss_history: np.ndarray
+    term_history: dict[str, np.ndarray] | None = None  # per-step loss terms
 
 
 def init_opt_vars(prox_params: dict[str, jnp.ndarray], T: int):
@@ -106,12 +107,16 @@ def fit_window(
                  if k != "pose_embedding"}
     params_np["betas"] = np.asarray(betas)
     params_np["body_pose"] = np.asarray(body_pose)
+    term_history = ({k: np.asarray(v) for k, v in terms.items()
+                     if hasattr(v, "shape")}
+                    if isinstance(terms, dict) else None)
     return WindowResult(
         params=params_np,
         pose_embedding=np.asarray(final["pose_embedding"]),
         body_pose=np.asarray(body_pose),
         final_loss=float(losses[-1]),
         loss_history=np.asarray(losses),
+        term_history=term_history,
     )
 
 

@@ -284,8 +284,16 @@ def load_torch_state_dict(path: str) -> dict[str, jnp.ndarray]:
     dict these forwards consume. Layout is preserved 1:1."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: jnp.asarray(v.numpy()) for k, v in sd.items()}
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # older checkpoints (e.g. torch<1.6 zip-less pickles) need the
+        # legacy loader; only use on checkpoints you trust
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: jnp.asarray(v.numpy()) for k, v in sd.items()
+            if hasattr(v, "numpy")}
 
 
 def save_state_dict(params: dict[str, Any], path: str) -> None:

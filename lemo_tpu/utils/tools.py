@@ -42,3 +42,31 @@ class log2file:
 def id_generator(size: int = 13) -> str:
     chars = string.ascii_uppercase + string.digits
     return "".join(random.choice(chars) for _ in range(size))
+
+
+def rel_change(prev_val: float, curr_val: float) -> float:
+    """Relative loss change (temp_prox/misc_utils.py:37-38)."""
+    return (prev_val - curr_val) / max(abs(prev_val), abs(curr_val), 1.0)
+
+
+def max_grad_change(grad_arr) -> float:
+    """Max absolute gradient entry (temp_prox/misc_utils.py:41-42)."""
+    return float(np.abs(np.asarray(grad_arr)).max())
+
+
+def load_vposer(expr_dir: str):
+    """Load a VPoser checkpoint directory (the model_loader.py:43-72
+    capability): finds the newest snapshot under <expr_dir>/snapshots and
+    converts its torch state_dict into our flat param layout. Returns
+    (params, path)."""
+    import glob
+    import os
+
+    from lemo_tpu.priors.conv_ae import load_torch_state_dict
+
+    snaps = sorted(glob.glob(os.path.join(expr_dir, "snapshots", "*.pt")) +
+                   glob.glob(os.path.join(expr_dir, "snapshots", "*.pkl")))
+    if not snaps:
+        raise FileNotFoundError(f"no VPoser snapshots under {expr_dir}")
+    path = snaps[-1]
+    return load_torch_state_dict(path), path

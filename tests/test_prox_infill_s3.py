@@ -1,0 +1,67 @@
+"""PROX Stage-3: occlusion-robust fitting with the motion-infill prior
+(the reference's PROXD_temp_S3 configuration) on a synthetic recording."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lemo_tpu.body_model import load_model
+from lemo_tpu.config import ProxConfig
+from lemo_tpu.data.stats import GlobalStats, Local4ChanStats
+from lemo_tpu.fitting.prox.driver import ProxAssets, run_prox_fitting
+from lemo_tpu.priors.conv_ae import init_infill_ae, init_smooth_enc, \
+    load_torch_state_dict
+from lemo_tpu.testing.synthetic_prox import write_synthetic_prox_recording
+
+REF_STATS = ("/root/reference/preprocess_stats/"
+             "preprocess_stats_infill_local_markers_4chan.npz")
+REF_ENC = "/root/reference/runs/15217/Enc_last_model.pkl"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_STATS), reason="stats absent")
+def test_s3_pipeline_with_infill_prior():
+    base = tempfile.mkdtemp()
+    info = write_synthetic_prox_recording(base, num_frames=18, seed=3,
+                                          occlusion_frac=0.3)
+    model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+
+    infill_stats = Local4ChanStats.load(REF_STATS)
+    if os.path.exists(REF_ENC):
+        enc = load_torch_state_dict(REF_ENC)
+        smooth_stats = GlobalStats.load(
+            "/root/reference/preprocess_stats/"
+            "preprocess_stats_smooth_withHand_global_markers.npz")
+    else:
+        enc = init_smooth_enc(jax.random.PRNGKey(0))
+        smooth_stats = GlobalStats(np.zeros((1, 1, 243)), np.ones(243))
+
+    cfg = ProxConfig(
+        recording_dir=info["recording_dir"],
+        output_folder=tempfile.mkdtemp(),
+        batch_size=16, maxiters=5, lr=0.005, flip=False,
+        s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=True, use_friction=True,
+        use_motion_smooth_prior=True,
+        motion_prior_smooth_weights=[1e2],
+        use_motion_infill_prior=True,
+        motion_infill_rec_weights=[2.0],
+        motion_infill_contact_weights=[0.1],
+        interpenetration=False, contact=False,
+    )
+    assets = ProxAssets(
+        model=model, vposer_params=info["vposer_params"],
+        smooth_enc_params=enc, smooth_stats=smooth_stats,
+        infill_ae_params=init_infill_ae(jax.random.PRNGKey(2), in_channel=4),
+        infill_stats=infill_stats)
+    results = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)
+    assert len(results) == 1
+    assert np.isfinite(results[0].final_loss)
+    # infill terms actually contributed (recording has 30% occlusion)
+    th = results[0].term_history
+    assert th is not None and "motion_infill_loss" in th
+    assert np.isfinite(th["motion_infill_loss"]).all()
+    assert float(np.abs(th["motion_infill_loss"]).sum()) > 0
