@@ -144,6 +144,10 @@ class ProxConfig:
     # misc
     result_folder: str = "results"
     num_stages: int | None = None
+    # multi-chip: fit all windows concurrently, window axis sharded over
+    # the device mesh (new capability — the reference is single-GPU
+    # sequential; see window.make_batched_window_fitter for semantics)
+    window_parallel: bool = False
 
     def stage_weights(self, stage: int = 0) -> dict[str, float]:
         """Flatten the per-stage weight lists into a single-stage dict

@@ -53,6 +53,10 @@ def finetune_weight_from_mask(mask_dT: jnp.ndarray) -> jnp.ndarray:
     return w.at[..., -5:, :].set(0.0)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("finetune_steps", "finetune_lr", "kernel"))
 def infill_infer(
     ae_params: dict,
     clip_img: jnp.ndarray,       # [B, C, d, T] normalized motion image
@@ -61,11 +65,12 @@ def infill_infer(
     finetune_lr: float = 3e-6,
     kernel: int = 3,
 ):
-    """Returns (clip_img_rec [B, 1, d, T], finetuned params).
+    """Returns (clip_img_rec [B, 1, d, T], finetuned params, losses).
 
     The input has its channel-0 masked entries zeroed, is reflect-padded
     (8, 8, 1, 1), the AE is finetuned on the visible-entry residual of
-    channel 0, and the final reconstruction is un-padded.
+    channel 0, and the final reconstruction is un-padded. Jitted end to
+    end (the jit cache persists across clips/windows of equal shape).
     """
     if input_mask.ndim == 2:
         input_mask = input_mask[None]

@@ -13,7 +13,7 @@ import dataclasses
 import jax.numpy as jnp
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class PerspectiveCamera:
     focal_length_x: float = 5000.0
     focal_length_y: float = 5000.0

@@ -156,6 +156,72 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
     return st
 
 
+def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
+                         result_folder, n_windows, verbose):
+    """All windows fitted concurrently, window axis sharded over the
+    device mesh (the multi-chip path; see
+    window.make_batched_window_fitter for the stitching semantics)."""
+    import dataclasses as _dc
+
+    import jax
+
+    from lemo_tpu.body_model import vposer as vp
+    from lemo_tpu.fitting.prox.window import (WindowResult,
+                                              make_batched_window_fitter,
+                                              save_window_pkls)
+    from lemo_tpu.parallel import make_mesh
+
+    t0 = time.time()
+    window_data = [ds.load_window(i) for i in range(n_windows)]
+    statics = [build_window_static(cfg, assets, rec, wd, jw)
+               for wd in window_data]
+    _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
+                   "marker_mask", "infill_targets", "infill_contact_lbl"}
+    batch_kw = {}
+    for f in _dc.fields(statics[0].__class__):
+        vals = [getattr(s, f.name) for s in statics]
+        if f.name in _PER_WINDOW and vals[0] is not None:
+            batch_kw[f.name] = jnp.stack(vals)
+        else:
+            batch_kw[f.name] = vals[0]
+    static_batch = statics[0].__class__(**batch_kw)
+
+    warm = {k: jnp.stack([jnp.asarray(wd["warm_start"][k])
+                          for wd in window_data])
+            for k in window_data[0]["warm_start"]}
+    first_mask = jnp.asarray([i == 0 for i in range(n_windows)])
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    fitter = make_batched_window_fitter(
+        assets.model, assets.vposer_params, mapper, statics[0], weights,
+        maxiters=cfg.maxiters, lr=cfg.lr, mesh=mesh)
+    opt_vars, betas, losses = fitter(static_batch, warm, first_mask)
+
+    results = []
+    for widx in range(n_windows):
+        final = {k: v[widx] for k, v in opt_vars.items()}
+        body_pose = vp.decode(assets.vposer_params,
+                              final["pose_embedding"], "aa")
+        params_np = {k: np.asarray(v) for k, v in final.items()
+                     if k != "pose_embedding"}
+        params_np["betas"] = np.asarray(betas[widx])
+        params_np["body_pose"] = np.asarray(body_pose)
+        result = WindowResult(
+            params=params_np,
+            pose_embedding=np.asarray(final["pose_embedding"]),
+            body_pose=np.asarray(body_pose),
+            final_loss=float(losses[widx, -1]),
+            loss_history=losses[widx],
+        )
+        save_window_pkls(result, window_data[widx]["fns"], result_folder)
+        results.append(result)
+    if verbose:
+        print(f"[window-parallel] {n_windows} windows on "
+              f"{len(jax.devices())} device(s) in {time.time() - t0:.1f}s; "
+              f"losses {[round(float(l[-1]), 3) for l in losses]}")
+    return results
+
+
 def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
                      max_windows: int | None = None,
                      verbose: bool = True) -> list:
@@ -195,6 +261,13 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
     results = []
     n_windows = len(ds.windows) if max_windows is None else \
         min(max_windows, len(ds.windows))
+
+    if cfg.window_parallel:
+        return _run_window_parallel(cfg, assets, rec, ds, jw, mapper,
+                                    weights, result_folder, n_windows,
+                                    verbose)
+
+    window_fitter = None  # built from the first window, reused for all
     for widx in range(n_windows):
         t0 = time.time()
         wd = ds.load_window(widx)
@@ -225,10 +298,16 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
                 jnp.asarray(wd["marker_mask"]), assets.infill_stats)
 
         static = build_window_static(cfg, assets, rec, wd, jw, infill_result)
+        if window_fitter is None:
+            from lemo_tpu.fitting.prox.window import make_window_fitter
+
+            window_fitter = make_window_fitter(
+                model, assets.vposer_params, mapper, static, weights,
+                maxiters=cfg.maxiters, lr=cfg.lr)
         result = fit_window(
             model, assets.vposer_params, mapper, static, weights,
             warm, first_window=(widx == 0),
-            maxiters=cfg.maxiters, lr=cfg.lr)
+            maxiters=cfg.maxiters, lr=cfg.lr, fitter=window_fitter)
         save_window_pkls(result, wd["fns"], result_folder)
         results.append(result)
         # per-term optimizer scalars, as the reference logs each closure

@@ -54,21 +54,233 @@ def init_opt_vars(prox_params: dict[str, jnp.ndarray], T: int):
     return opt_vars, betas
 
 
-def overlap_grad_mask(T: int, first_window: bool, overlap_frac: float = 0.15):
+def overlap_grad_mask(T: int, overlap_frac: float = 0.15):
     """Zero gradients of the first 15% of frames on non-first windows
     (fitting_temp_slide.py:283-289) so overlapped frames keep the previous
-    window's solution."""
-    erase_n = 0 if first_window else int(T * overlap_frac)
-    frame_w = (jnp.arange(T) >= erase_n).astype(jnp.float32)
+    window's solution. `erase_n` is a traced scalar (0 on the first
+    window) so one compilation serves both cases."""
 
-    def mask(grads):
-        def apply(g):
-            if g.ndim >= 1 and g.shape[0] == T:
-                return g * frame_w.reshape((T,) + (1,) * (g.ndim - 1))
-            return g
-        return jax.tree_util.tree_map(apply, grads)
+    def mask_with(erase_n):
+        frame_w = (jnp.arange(T) >= erase_n).astype(jnp.float32)
 
-    return mask
+        def mask(grads):
+            def apply(g):
+                if g.ndim >= 1 and g.shape[0] == T:
+                    return g * frame_w.reshape((T,) + (1,) * (g.ndim - 1))
+                return g
+            return jax.tree_util.tree_map(apply, grads)
+
+        return mask
+
+    return mask_with
+
+
+def make_window_fitter(
+    model: SmplxModel,
+    vposer_params: dict,
+    joint_mapper: np.ndarray,
+    static_template: ProxStatic,
+    weights: ProxWeights,
+    maxiters: int = 900,
+    lr: float = 0.005,
+    overlap_frac: float = 0.15,
+):
+    """Build the per-window optimizer, compiled ONCE for the recording.
+
+    Returns ``fit(static, prox_params, first_window) -> (final, losses,
+    terms, betas)``; all windows share shapes, so subsequent windows hit
+    the jit cache (the reference pays its Python loop per step instead).
+    """
+    import optax
+
+    T = static_template.gt_joints.shape[0]
+    fwd = make_forward_fn(model)
+    loss_fn = make_prox_loss(fwd, model.consts, joint_mapper, vposer_params,
+                             static_template, weights,
+                             model.config.num_expressions)
+    mask_with = overlap_grad_mask(T, overlap_frac)
+    erase_frames = int(T * overlap_frac)
+
+    # The fit runs in chunks of <=100 optimizer steps per device dispatch:
+    # mathematically identical to one long scan (Adam state is carried
+    # across chunks), but keeps individual XLA executions short — long
+    # single dispatches can trip execution watchdogs on tunneled devices.
+    chunk = min(100, maxiters)
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+    @jax.jit
+    def run_chunk(ov, opt_state, betas, st, erase_n):
+        gmask = mask_with(erase_n)
+        grad_fn = jax.value_and_grad(
+            lambda v: loss_fn(v, betas, st), has_aux=True)
+
+        def step(carry, _):
+            v, state, dead = carry
+            (loss, terms), grads = grad_fn(v)
+            grads = gmask(grads)
+            updates, new_state = opt.update(grads, state, v)
+            new_v = optax.apply_updates(v, updates)
+            bad = jnp.logical_or(jnp.isnan(loss), jnp.isinf(loss))
+            dead = jnp.logical_or(dead, bad)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(dead, o, n), new, old)
+            return (keep(new_v, v), keep(new_state, state), dead), \
+                (loss, terms)
+
+        (ov, opt_state, _), (losses, terms) = jax.lax.scan(
+            step, (ov, opt_state, jnp.asarray(False)), None, length=chunk)
+        return ov, opt_state, losses, terms
+
+    def fit(static: ProxStatic, prox_params, first_window: bool):
+        opt_vars, betas = init_opt_vars(prox_params, T)
+        erase_n = jnp.asarray(0 if first_window else erase_frames)
+        opt_state = opt.init(opt_vars)
+        all_losses, all_terms = [], []
+        done = 0
+        while done < maxiters:
+            opt_vars, opt_state, losses, terms = run_chunk(
+                opt_vars, opt_state, betas, static, erase_n)
+            all_losses.append(np.asarray(losses))
+            all_terms.append({k: np.asarray(v) for k, v in terms.items()
+                              if hasattr(v, "shape")})
+            done += chunk
+        losses = jnp.asarray(np.concatenate(all_losses)[:maxiters])
+        terms = {k: np.concatenate([t[k] for t in all_terms])[:maxiters]
+                 for k in all_terms[0]}
+        return opt_vars, losses, terms, betas
+
+    return fit
+
+
+def make_batched_window_fitter(
+    model: SmplxModel,
+    vposer_params: dict,
+    joint_mapper: np.ndarray,
+    static_template: ProxStatic,
+    weights: ProxWeights,
+    maxiters: int = 900,
+    lr: float = 0.005,
+    overlap_frac: float = 0.15,
+    mesh=None,
+):
+    """Window-PARALLEL fitter: all windows of a recording optimized
+    concurrently, the window axis sharded across the device mesh — the
+    v5e-8 scaling mode (SURVEY §2.8: windows become the data-parallel
+    axis; the reference runs them strictly sequentially).
+
+    Semantics note: every window warm-starts from the previous STAGE's
+    pkls exactly like the reference; the overlap-frozen head frames keep
+    their warm-start values instead of the previous window's fresh
+    solution (run a second sequential-polish pass if stitching parity is
+    required).
+
+    Returns ``fit(static_batch, prox_params_batch, first_mask)`` where
+    every array carries a leading window axis W; per-window statics are
+    batched, shared statics broadcast.
+    """
+    import dataclasses as _dc
+
+    import optax
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    T = static_template.gt_joints.shape[0]
+    fwd = make_forward_fn(model)
+    loss_fn = make_prox_loss(fwd, model.consts, joint_mapper, vposer_params,
+                             static_template, weights,
+                             model.config.num_expressions)
+    mask_with = overlap_grad_mask(T, overlap_frac)
+    chunk = min(100, maxiters)
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+    _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
+                   "marker_mask", "infill_targets", "infill_contact_lbl"}
+    # in_axes prefix tree: same ProxStatic structure/aux as the template,
+    # 0 on per-window fields, None elsewhere
+    from lemo_tpu.fitting.prox.losses import _STATIC_ARRAY_FIELDS, \
+        _prox_static_flatten, _prox_static_unflatten
+
+    children, aux = _prox_static_flatten(static_template)
+    axes_children = []
+    for name, child in zip(_STATIC_ARRAY_FIELDS, children):
+        if name in _PER_WINDOW and child is not None:
+            axes_children.append(0)
+        else:
+            axes_children.append(
+                jax.tree_util.tree_map(lambda _: None, child))
+    static_axes = _prox_static_unflatten(aux, axes_children)
+
+    def chunk_one(ov, opt_state, betas, st, erase_n):
+        gmask = mask_with(erase_n)
+        grad_fn = jax.value_and_grad(
+            lambda v: loss_fn(v, betas, st), has_aux=True)
+
+        def step(carry, _):
+            v, state = carry
+            (loss, _), grads = grad_fn(v)
+            grads = gmask(grads)
+            updates, state = opt.update(grads, state, v)
+            return (optax.apply_updates(v, updates), state), loss
+
+        (ov, opt_state), losses = jax.lax.scan(
+            step, (ov, opt_state), None, length=chunk)
+        return ov, opt_state, losses
+
+    run_chunk_v = jax.jit(jax.vmap(
+        chunk_one, in_axes=(0, 0, 0, static_axes, 0)))
+
+    n_shards = mesh.devices.size if mesh is not None else 1
+
+    def _pad_w(x, W, W_pad):
+        if x is None or W_pad == W:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (W_pad - W,) + x.shape[1:])])
+
+    def fit(static_batch: ProxStatic, prox_params_batch, first_mask):
+        W = first_mask.shape[0]
+        # pad the window axis to a mesh multiple (padding repeats window 0
+        # and is discarded after the fit). Only the per-window fields are
+        # padded — shape-sniffing would corrupt shared fields whose first
+        # dim happens to equal W (e.g. R [3,3] with 3 windows).
+        W_pad = ((W + n_shards - 1) // n_shards) * n_shards
+        static_batch = _dc.replace(static_batch, **{
+            name: _pad_w(getattr(static_batch, name), W, W_pad)
+            for name in _PER_WINDOW
+            if getattr(static_batch, name) is not None})
+        prox_params_batch = {k: _pad_w(v, W, W_pad)
+                             for k, v in prox_params_batch.items()}
+        first_mask_p = jnp.concatenate(
+            [first_mask, jnp.zeros(W_pad - W, first_mask.dtype)]) \
+            if W_pad > W else first_mask
+
+        mean_betas = prox_params_batch["betas"].mean(axis=1, keepdims=True)
+        betas = jnp.broadcast_to(
+            mean_betas, (W_pad, T, mean_betas.shape[-1]))
+        opt_vars = {k: prox_params_batch[k] for k in
+                    ("transl", "global_orient", "left_hand_pose",
+                     "right_hand_pose", "jaw_pose", "leye_pose",
+                     "reye_pose", "expression", "pose_embedding")}
+        erase_n = jnp.where(first_mask_p, 0, int(T * overlap_frac))
+        opt_state = jax.vmap(opt.init)(opt_vars)
+        if mesh is not None:
+            shard = NamedSharding(mesh, P("dp"))
+            place = lambda x: jax.device_put(x, shard) \
+                if hasattr(x, "ndim") and x.ndim >= 1 and \
+                x.shape[0] == W_pad else x
+            opt_vars = jax.tree_util.tree_map(place, opt_vars)
+        all_losses = []
+        done = 0
+        while done < maxiters:
+            opt_vars, opt_state, losses = run_chunk_v(
+                opt_vars, opt_state, betas, static_batch, erase_n)
+            all_losses.append(np.asarray(losses))
+            done += chunk
+        losses = np.concatenate(all_losses, axis=1)[:W, :maxiters]  # [W, S]
+        opt_vars = jax.tree_util.tree_map(lambda x: x[:W], opt_vars)
+        return opt_vars, betas[:W], losses
+
+    return fit
 
 
 def fit_window(
@@ -81,26 +293,14 @@ def fit_window(
     first_window: bool,
     maxiters: int = 900,
     lr: float = 0.005,
+    fitter=None,
 ) -> WindowResult:
-    T = static.gt_joints.shape[0]
-    fwd = make_forward_fn(model)
-    opt_vars, betas = init_opt_vars(prox_params, T)
-
-    loss_fn = make_prox_loss(fwd, model.consts, joint_mapper, vposer_params,
-                             static, weights,
-                             model.config.num_expressions)
-
-    lr_table = piecewise_lr([(0, lr)], maxiters)
-    gmask = overlap_grad_mask(T, first_window)
-
-    @jax.jit
-    def run(ov, betas):
-        final, losses, terms = run_adam(
-            lambda v: loss_fn(v, betas), ov, maxiters, lr_table,
-            grad_mask=gmask, has_aux=True)
-        return final, losses, terms
-
-    final, losses, terms = run(opt_vars, betas)
+    """Fit one window. Pass `fitter` from :func:`make_window_fitter` to
+    reuse the compilation across windows (the driver does)."""
+    if fitter is None:
+        fitter = make_window_fitter(model, vposer_params, joint_mapper,
+                                    static, weights, maxiters, lr)
+    final, losses, terms, betas = fitter(static, prox_params, first_window)
 
     body_pose = vp.decode(vposer_params, final["pose_embedding"], "aa")
     params_np = {k: np.asarray(v) for k, v in final.items()

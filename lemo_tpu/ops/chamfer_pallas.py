@@ -8,9 +8,16 @@ across the whole sweep over the point cloud: one HBM read per operand
 tile, the MXU does the cross term, the VPU folds the min — the fusion XLA
 won't do across scan steps.
 
-Grid: (num_query_tiles,). Each program owns a [TQ, 3] query tile and
-iterates the points in [TP, 3] tiles with a fori_loop, maintaining
-[TQ] best-distance / best-index registers in VMEM scratch.
+Memory layout matters on TPU: a [N, 3] cloud has a 3-wide lane dimension
+that Mosaic pads to 128 (a 32x VMEM blowup — enough to OOM the 16 MB VMEM
+at PROX scale). The kernel therefore takes the *point* cloud transposed,
+[4, M] (coordinates on sublanes, points on lanes), and the queries as
+[TQ, 4] tiles, so the cross term is a clean [TQ, 4] x [4, TP] MXU matmul
+and every buffer tiles efficiently.
+
+Grid: (num_query_tiles,). Each program owns a [TQ, 4] query tile and
+iterates the transposed points in [4, TP] tiles with a fori_loop,
+maintaining [TQ, 1] best-distance / best-index registers.
 
 Falls back to the XLA implementation on non-TPU backends (the kernel is
 also exercised in interpret mode by the test suite).
@@ -28,43 +35,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lemo_tpu.ops.chamfer import nn_distance as _nn_distance_xla
 
-_TQ = 256   # query tile (sublane-friendly)
-_TP = 512   # points tile per inner step
+_TQ = 256   # query tile (sublanes)
+_TP = 2048  # points per inner step (lanes)
 
 
-def _kernel(q_ref, p_ref, mask_ref, dist_ref, idx_ref):
+def _kernel(q_ref, pt_ref, mask_ref, dist_ref, idx_ref):
     """One query tile vs all point tiles.
 
-    q_ref: [TQ, 4] queries (xyz + zero pad), p_ref: [P, 4], mask_ref
-    [P, 1] (1 = valid), dist_ref/idx_ref: [TQ, 1] outputs.
+    q_ref: [TQ, 4] queries (xyz + zero pad); pt_ref: [4, P] transposed
+    points; mask_ref: [1, P] (1 = valid); dist_ref/idx_ref: [TQ, 1].
     """
     q = q_ref[:]  # [TQ, 4]
     q2 = jnp.sum(q * q, axis=1, keepdims=True)  # [TQ, 1]
-    P = p_ref.shape[0]
+    P = pt_ref.shape[1]
     n_tiles = P // _TP
 
     def body(t, carry):
-        best_d, best_i = carry
-        p = p_ref[pl.ds(t * _TP, _TP), :]            # [TP, 4]
-        m = mask_ref[pl.ds(t * _TP, _TP), :]         # [TP, 1]
-        p2 = jnp.sum(p * p, axis=1)[None, :]         # [1, TP]
+        best_d, best_i = carry  # [TQ, 1] each
+        p = pt_ref[:, pl.ds(t * _TP, _TP)]           # [4, TP]
+        m = mask_ref[:, pl.ds(t * _TP, _TP)]         # [1, TP]
+        p2 = jnp.sum(p * p, axis=0, keepdims=True)   # [1, TP]
         cross = jax.lax.dot_general(
-            q, p, dimension_numbers=(((1,), (1,)), ((), ())),
+            q, p, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # [TQ, TP] on the MXU
         d = q2 + p2 - 2.0 * cross
-        d = jnp.where(m[:, 0][None, :] > 0, d, jnp.inf)
-        loc = jnp.argmin(d, axis=1)                  # [TQ]
-        dmin = jnp.min(d, axis=1)                    # [TQ]
+        d = jnp.where(m > 0, d, jnp.inf)
+        dmin = jnp.min(d, axis=1, keepdims=True)     # [TQ, 1]
+        loc = jnp.argmin(d, axis=1)[:, None]         # [TQ, 1]
         better = dmin < best_d
         best_d = jnp.where(better, dmin, best_d)
         best_i = jnp.where(better, t * _TP + loc.astype(jnp.int32), best_i)
         return best_d, best_i
 
-    init = (jnp.full((_TQ,), jnp.inf, jnp.float32),
-            jnp.zeros((_TQ,), jnp.int32))
+    init = (jnp.full((q.shape[0], 1), jnp.inf, jnp.float32),
+            jnp.zeros((q.shape[0], 1), jnp.int32))
     best_d, best_i = jax.lax.fori_loop(0, n_tiles, body, init)
-    dist_ref[:] = best_d[:, None]
-    idx_ref[:] = best_i[:, None]
+    dist_ref[:] = best_d
+    idx_ref[:] = best_i
 
 
 def _pad_rows(x, multiple, value=0.0):
@@ -92,6 +99,8 @@ def nn_distance_pallas(query: jnp.ndarray, points: jnp.ndarray,
     p4, _ = _pad_rows(jnp.concatenate(
         [points, jnp.zeros((points.shape[0], 1), points.dtype)], axis=1), _TP)
     m, _ = _pad_rows(points_mask.astype(jnp.float32)[:, None], _TP, 0.0)
+    pt = p4.T                    # [4, Mp] points on lanes
+    mt = m.T                     # [1, Mp]
 
     n_q_tiles = q4.shape[0] // _TQ
     dist, idx = pl.pallas_call(
@@ -100,9 +109,9 @@ def nn_distance_pallas(query: jnp.ndarray, points: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((_TQ, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((p4.shape[0], 4), lambda i: (0, 0),
+            pl.BlockSpec((4, pt.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m.shape[0], 1), lambda i: (0, 0),
+            pl.BlockSpec((1, mt.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -116,12 +125,11 @@ def nn_distance_pallas(query: jnp.ndarray, points: jnp.ndarray,
             jax.ShapeDtypeStruct((q4.shape[0], 1), jnp.int32),
         ),
         interpret=interpret,
-    )(jax.lax.stop_gradient(q4), jax.lax.stop_gradient(p4), m)
+    )(jax.lax.stop_gradient(q4), jax.lax.stop_gradient(pt), mt)
     # the kernel only selects the winner; gradients flow through the
     # differentiable gather below, so the pallas_call itself needs no VJP
     dist = dist[:N, 0]
     idx = idx[:N, 0]
-    # differentiable re-derivation through a gather (as in the XLA path)
     win = points[idx]
     d2 = ((query - win) ** 2).sum(-1)
     return d2, idx

@@ -49,11 +49,23 @@ def sample_grid_trilinear(grid: jnp.ndarray, coords: jnp.ndarray,
     c111 = clamp(lo + 1.0)
 
     D0, D1, D2 = grid.shape[:3]
-    flat = grid.reshape(-1, grid.shape[-1])
+    C = grid.shape[-1]
 
-    def take(i0, i1, i2):
-        idx = (i0 * D1 + i1) * D2 + i2
-        return flat[idx.reshape(-1)].reshape(*idx.shape, grid.shape[-1])
+    if C == 1:
+        # gather from a flat 1-D buffer: a [N, 1] operand would be laid
+        # out in (8, 128) tiles with 127/128 padding waste, making the
+        # gather ~100x slower on TPU
+        flat1 = grid.reshape(-1)
+
+        def take(i0, i1, i2):
+            idx = (i0 * D1 + i1) * D2 + i2
+            return flat1[idx][..., None]
+    else:
+        flat = grid.reshape(-1, C)
+
+        def take(i0, i1, i2):
+            idx = (i0 * D1 + i1) * D2 + i2
+            return flat[idx.reshape(-1)].reshape(*idx.shape, C)
 
     x0, y0, z0 = c000[..., 0], c000[..., 1], c000[..., 2]
     x1, y1, z1 = c111[..., 0], c111[..., 1], c111[..., 2]
@@ -79,9 +91,35 @@ def sample_grid_trilinear(grid: jnp.ndarray, coords: jnp.ndarray,
 
 
 def sample_sdf_world(sdf_grid: jnp.ndarray, points_world: jnp.ndarray,
-                     grid_min: jnp.ndarray, grid_max: jnp.ndarray):
+                     grid_min: jnp.ndarray, grid_max: jnp.ndarray,
+                     crop: int | None = 128):
     """SDF values at world-space points (border padding, align_corners
-    False)."""
+    False).
+
+    With `crop`, the grid is first dynamic-sliced to a crop^3 window
+    around the query points' bounding box (the body occupies a small
+    fraction of the scene): gathers from the smaller buffer are ~40%
+    cheaper on TPU, and results are identical whenever the points fit the
+    window (guaranteed for body vertices; points outside clamp to the
+    window border). Set crop=None for exact full-grid sampling.
+    """
+    if crop is not None and sdf_grid.ndim == 3 and \
+            min(sdf_grid.shape) > crop:
+        import jax
+
+        D = jnp.asarray(sdf_grid.shape, points_world.dtype)
+        cell = (grid_max - grid_min) / D
+        pts = jax.lax.stop_gradient(points_world).reshape(-1, 3)
+        lo_cell = jnp.floor((pts.min(axis=0) - grid_min) / cell) - 1
+        starts = jnp.clip(lo_cell, 0,
+                          D - crop).astype(jnp.int32)
+        sub = jax.lax.dynamic_slice(sdf_grid, tuple(starts[i]
+                                                    for i in range(3)),
+                                    (crop, crop, crop))
+        sub_min = grid_min + starts.astype(points_world.dtype) * cell
+        sub_max = sub_min + crop * cell
+        coords = normalize_points(points_world, sub_min, sub_max)
+        return sample_grid_trilinear(sub, coords)
     coords = normalize_points(points_world, grid_min, grid_max)
     return sample_grid_trilinear(sdf_grid, coords)
 

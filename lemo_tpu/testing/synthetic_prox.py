@@ -85,6 +85,7 @@ def write_synthetic_prox_recording(
     model_dict: dict | None = None,
     seed: int = 0,
     occlusion_frac: float = 0.15,
+    write_depth: bool = True,
 ) -> dict:
     """Create the recording; returns ground-truth info for evaluation."""
     import cv2
@@ -169,26 +170,29 @@ def write_synthetic_prox_recording(
         frame_names.append(fn)
         cv2.imwrite(osp.join(rec_dir, "Color", fn + ".png"), tiny_color)
 
-        # rasterize vertex depths into the depth image
-        v = verts[i]
-        u = np.round(v[:, 0] / v[:, 2] * dfx + dcx).astype(int)
-        w = np.round(v[:, 1] / v[:, 2] * dfy + dcy).astype(int)
-        ok = (u >= 0) & (u < DEPTH_W) & (w >= 0) & (w < DEPTH_H) & (v[:, 2] > 0)
-        depth = np.zeros((DEPTH_H, DEPTH_W), np.float64)
-        depth[w[ok], u[ok]] = v[ok, 2]
-        depth_png = (depth / 1e-3 * 8.0).astype(np.uint16)
-        cv2.imwrite(osp.join(rec_dir, "Depth", fn + ".png"), depth_png)
+        if write_depth:
+            # rasterize vertex depths into the depth image
+            v = verts[i]
+            u = np.round(v[:, 0] / v[:, 2] * dfx + dcx).astype(int)
+            w = np.round(v[:, 1] / v[:, 2] * dfy + dcy).astype(int)
+            ok = (u >= 0) & (u < DEPTH_W) & (w >= 0) & (w < DEPTH_H) & \
+                (v[:, 2] > 0)
+            depth = np.zeros((DEPTH_H, DEPTH_W), np.float64)
+            depth[w[ok], u[ok]] = v[ok, 2]
+            depth_png = (depth / 1e-3 * 8.0).astype(np.uint16)
+            cv2.imwrite(osp.join(rec_dir, "Depth", fn + ".png"), depth_png)
 
-        # body mask on the color image (0 = body)
-        uc = np.round(v[:, 0] / v[:, 2] * FX + CX).astype(int)
-        wc = np.round(v[:, 1] / v[:, 2] * FY + CY).astype(int)
-        okc = (uc >= 0) & (uc < COLOR_W) & (wc >= 0) & (wc < COLOR_H)
-        mask = np.full((COLOR_H, COLOR_W), 255, np.uint8)
-        if okc.any():
-            x0, x1 = uc[okc].min(), uc[okc].max()
-            y0, y1 = wc[okc].min(), wc[okc].max()
-            mask[max(0, y0 - 10):y1 + 10, max(0, x0 - 10):x1 + 10] = 0
-        cv2.imwrite(osp.join(rec_dir, "BodyIndexColor", fn + ".png"), mask)
+            # body mask on the color image (0 = body)
+            uc = np.round(v[:, 0] / v[:, 2] * FX + CX).astype(int)
+            wc = np.round(v[:, 1] / v[:, 2] * FY + CY).astype(int)
+            okc = (uc >= 0) & (uc < COLOR_W) & (wc >= 0) & (wc < COLOR_H)
+            mask = np.full((COLOR_H, COLOR_W), 255, np.uint8)
+            if okc.any():
+                x0, x1 = uc[okc].min(), uc[okc].max()
+                y0, y1 = wc[okc].min(), wc[okc].max()
+                mask[max(0, y0 - 10):y1 + 10, max(0, x0 - 10):x1 + 10] = 0
+            cv2.imwrite(osp.join(rec_dir, "BodyIndexColor", fn + ".png"),
+                        mask)
 
         with open(osp.join(keyp_dir, fn + "_keypoints.json"), "w") as fh:
             json.dump(_keypoints_json(j2d[i]), fh)

@@ -1,0 +1,113 @@
+"""End-to-end demo: fit a full synthetic PROX recording and report
+wall-clock — the BASELINE.md north-star measurement
+(Stage-2-config fit of a ~2k-frame recording, target < 2 min on TPU).
+
+Usage:
+    python scripts/demo_prox_recording.py [--frames 2000] [--maxiters 900]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--maxiters", type=int, default=900)
+    ap.add_argument("--batch_size", type=int, default=100)
+    ap.add_argument("--full_size_model", action="store_true", default=True)
+    ap.add_argument("--windows", type=int, default=None)
+    ap.add_argument("--window_parallel", action="store_true",
+                    help="fit all windows concurrently (multi-chip mode)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lemo_tpu.body_model import load_model
+    from lemo_tpu.config import ProxConfig
+    from lemo_tpu.data.stats import GlobalStats
+    from lemo_tpu.fitting.prox.driver import ProxAssets, run_prox_fitting
+    from lemo_tpu.priors.conv_ae import init_smooth_enc, \
+        load_torch_state_dict
+    from lemo_tpu.testing.synthetic import synthetic_smplx_npz
+    from lemo_tpu.testing.synthetic_prox import \
+        write_synthetic_prox_recording
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    base = tempfile.mkdtemp(prefix="prox_demo_")
+    t0 = time.time()
+    # generate with a small model for speed; fit with the full-size mesh
+    info = write_synthetic_prox_recording(base, num_frames=args.frames,
+                                          seed=11, write_depth=False)
+    t_gen = time.time() - t0
+    print(f"recording generated: {args.frames} frames in {t_gen:.0f}s",
+          file=sys.stderr)
+
+    model_dict = (synthetic_smplx_npz(full_size=True)
+                  if args.full_size_model else info["model_dict"])
+    # marker/segment ids auto-fold for reduced meshes; full-size is exact
+    model = load_model(model_dict if args.full_size_model
+                       else info["model_dict"],
+                       use_pca=True, num_pca_comps=12)
+    try:
+        enc = load_torch_state_dict(
+            "/root/reference/runs/15217/Enc_last_model.pkl")
+        stats = GlobalStats.load(
+            "/root/reference/preprocess_stats/"
+            "preprocess_stats_smooth_withHand_global_markers.npz")
+    except Exception:
+        enc = init_smooth_enc(jax.random.PRNGKey(0))
+        stats = GlobalStats(np.zeros((1, 1, 243)), np.ones(243))
+
+    cfg = ProxConfig(
+        recording_dir=info["recording_dir"],
+        output_folder=os.path.join(base, "fit_out"),
+        batch_size=args.batch_size, maxiters=args.maxiters, lr=0.005,
+        flip=False, s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=True, use_friction=True,
+        use_motion_smooth_prior=True, interpenetration=False,
+        contact=False, use_motion_infill_prior=False,
+        window_parallel=args.window_parallel,
+    )
+    # NOTE: the fit model is the generator's model when not full-size so
+    # keypoints correspond; with full_size we fit the big mesh to the
+    # small-body keypoints — throughput-representative, not accuracy.
+    if not args.full_size_model:
+        model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    assets = ProxAssets(model=model, vposer_params=info["vposer_params"],
+                        smooth_enc_params=enc, smooth_stats=stats)
+
+    t1 = time.time()
+    results = run_prox_fitting(cfg, assets, max_windows=args.windows,
+                               verbose=True)
+    wall = time.time() - t1
+    n_frames = args.frames
+    out = {
+        "metric": "prox_recording_wallclock_s",
+        "value": round(wall, 1),
+        "unit": "s",
+        "detail": {
+            "frames": n_frames,
+            "windows": len(results),
+            "maxiters": args.maxiters,
+            "device": str(jax.devices()[0]),
+            "frames_per_sec": round(n_frames / wall, 2),
+            "north_star": "<120 s for ~2k frames (BASELINE.md)",
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,32 @@ class TestSelfIntersection:
             vv, f, max_candidates=1))(v)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestSdfCrop:
+    def test_cropped_matches_full(self):
+        grid = RNG.randn(200, 200, 200).astype(np.float32)
+        lo = jnp.asarray([-3.0, -3.0, -1.0])
+        hi = jnp.asarray([3.0, 3.0, 3.0])
+        # a body-sized cluster of points well inside the scene
+        pts = jnp.asarray((RNG.randn(500, 3) * 0.3
+                           + np.array([0.5, -0.4, 1.0])).astype(np.float32))
+        full = sdf_ops.sample_sdf_world(jnp.asarray(grid), pts, lo, hi,
+                                        crop=None)
+        cropped = sdf_ops.sample_sdf_world(jnp.asarray(grid), pts, lo, hi,
+                                           crop=128)
+        # fp32 rounding differs slightly (sub-window renormalization)
+        np.testing.assert_allclose(np.asarray(cropped), np.asarray(full),
+                                   rtol=1e-2, atol=1e-4)
+
+    def test_crop_gradients_match(self):
+        grid = jnp.asarray(RNG.randn(160, 160, 160).astype(np.float32))
+        lo = jnp.asarray([-3.0, -3.0, -1.0])
+        hi = jnp.asarray([3.0, 3.0, 3.0])
+        pts = jnp.asarray((RNG.randn(200, 3) * 0.3).astype(np.float32))
+        g_full = jax.grad(lambda p: sdf_ops.sample_sdf_world(
+            grid, p, lo, hi, crop=None).sum())(pts)
+        g_crop = jax.grad(lambda p: sdf_ops.sample_sdf_world(
+            grid, p, lo, hi, crop=96).sum())(pts)
+        np.testing.assert_allclose(np.asarray(g_crop), np.asarray(g_full),
+                                   rtol=1e-2, atol=1e-3)
