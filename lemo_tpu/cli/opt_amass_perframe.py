@@ -83,8 +83,10 @@ def main(argv=None):
                                       args.clip_seconds, smooth_forward=False)
     images_n = np.asarray(stats.normalize(jnp.asarray(images)))
 
+    from lemo_tpu.body_model.smplx import find_smplx_npz
+
     models = {g: load_model(
-        os.path.join(smplx_model_path, f"SMPLX_{g.upper()}.npz"),
+        find_smplx_npz(args.body_model_path, g),
         gender=g, use_pca=True, num_pca_comps=12)
         for g in ("male", "female")}
     marker_ids = marker_indices(False)

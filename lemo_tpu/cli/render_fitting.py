@@ -42,13 +42,10 @@ def main(argv=None):
         print("no result pkls found")
         return
 
-    model_path = osp.join(args.model_folder, "smplx",
-                          f"SMPLX_{args.gender.upper()}.npz")
-    if not osp.exists(model_path):
-        model_path = osp.join(args.model_folder,
-                              f"SMPLX_{args.gender.upper()}.npz")
-    model = load_model(model_path, gender=args.gender, use_pca=True,
-                       num_pca_comps=12)
+    from lemo_tpu.body_model.smplx import find_smplx_npz
+
+    model = load_model(find_smplx_npz(args.model_folder, args.gender),
+                       gender=args.gender, use_pca=True, num_pca_comps=12)
     fwd = jax.jit(make_forward_fn(model))
 
     records = [read_prox_pkl(osp.join(res_dir, fn, "000.pkl"))

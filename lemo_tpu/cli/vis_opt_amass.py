@@ -42,9 +42,10 @@ def main(argv=None):
     smplx_model_path = os.path.join(args.body_model_path, "smplx_model")
     if not os.path.isdir(smplx_model_path):
         smplx_model_path = args.body_model_path
-    model = load_model(
-        os.path.join(smplx_model_path, f"SMPLX_{gender.upper()}.npz"),
-        gender=gender, use_pca=True, num_pca_comps=12)
+    from lemo_tpu.body_model.smplx import find_smplx_npz
+
+    model = load_model(find_smplx_npz(args.body_model_path, gender),
+                       gender=gender, use_pca=True, num_pca_comps=12)
     vposer_params = vp.init_vposer(jax.random.PRNGKey(0))
     if args.vposer_ckpt:
         from lemo_tpu.priors.conv_ae import load_torch_state_dict

@@ -109,10 +109,11 @@ class AmassRepresentationBuilder:
                 for g, d in smplx_model_path_or_dicts.items()
             }
         else:
+            from lemo_tpu.body_model.smplx import find_smplx_npz
+
             self.models = {
                 g: load_model(
-                    os.path.join(smplx_model_path_or_dicts,
-                                 f"SMPLX_{g.upper()}.npz"),
+                    find_smplx_npz(smplx_model_path_or_dicts, g),
                     gender=g, use_pca=False, flat_hand_mean=True)
                 for g in ("male", "female")
             }

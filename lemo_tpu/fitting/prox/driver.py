@@ -65,12 +65,10 @@ class ProxAssets:
 def load_assets(cfg: ProxConfig) -> ProxAssets:
     from lemo_tpu.priors.conv_ae import load_torch_state_dict
 
-    model_path = osp.join(cfg.model_folder, "smplx",
-                          f"SMPLX_{cfg.gender.upper()}.npz")
-    if not osp.exists(model_path):
-        model_path = osp.join(cfg.model_folder,
-                              f"SMPLX_{cfg.gender.upper()}.npz")
-    model = load_model(model_path, gender=cfg.gender, use_pca=cfg.use_pca,
+    from lemo_tpu.body_model.smplx import find_smplx_npz
+
+    model = load_model(find_smplx_npz(cfg.model_folder, cfg.gender),
+                       gender=cfg.gender, use_pca=cfg.use_pca,
                        num_pca_comps=cfg.num_pca_comps,
                        flat_hand_mean=cfg.flat_hand_mean)
     vposer_params = load_torch_state_dict(
@@ -303,7 +301,8 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
 
             window_fitter = make_window_fitter(
                 model, assets.vposer_params, mapper, static, weights,
-                maxiters=cfg.maxiters, lr=cfg.lr)
+                maxiters=cfg.maxiters, lr=cfg.lr,
+                optim_type=cfg.optim_type)
         result = fit_window(
             model, assets.vposer_params, mapper, static, weights,
             warm, first_window=(widx == 0),

@@ -84,6 +84,7 @@ def make_window_fitter(
     maxiters: int = 900,
     lr: float = 0.005,
     overlap_frac: float = 0.15,
+    optim_type: str = "adam",
 ):
     """Build the per-window optimizer, compiled ONCE for the recording.
 
@@ -100,6 +101,24 @@ def make_window_fitter(
                              model.config.num_expressions)
     mask_with = overlap_grad_mask(T, overlap_frac)
     erase_frames = int(T * overlap_frac)
+
+    if optim_type in ("lbfgs", "lbfgsls"):
+        # strong-Wolfe L-BFGS over the whole window (the reference's
+        # optim_type=lbfgsls option, optim_factory.py:27-65)
+        from lemo_tpu.fitting.lbfgs import lbfgs_minimize
+
+        def fit_lbfgs(static: ProxStatic, prox_params, first_window: bool):
+            opt_vars, betas = init_opt_vars(prox_params, T)
+            final, losses = lbfgs_minimize(
+                lambda v: loss_fn(v, betas, static)[0], opt_vars,
+                max_iter=maxiters, lr=1.0)
+            _, terms = loss_fn(final, betas, static)
+            terms = {k: np.asarray(v)[None].repeat(maxiters, 0)
+                     if hasattr(v, "shape") or isinstance(v, float) else v
+                     for k, v in terms.items()}
+            return final, losses, terms, betas
+
+        return fit_lbfgs
 
     # The fit runs in chunks of <=100 optimizer steps per device dispatch:
     # mathematically identical to one long scan (Adam state is carried
