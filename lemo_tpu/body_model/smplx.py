@@ -31,7 +31,9 @@ from lemo_tpu.body_model.vertex_ids import extra_joint_vertex_ids
 # number of axis-angle pose joints (incl. root) per model family
 _NUM_POSE_JOINTS = {"smpl": 24, "smplh": 52, "smplx": 55, "mano": 16}
 # body_pose joints (without root / hands / face)
-_NUM_BODY_JOINTS = {"smpl": 23, "smplh": 21, "smplx": 21}
+# body joints excluding root/hands: SMPL keeps its wrists in pose_hand
+# (2x3) following the reference BodyModel convention (body_model.py:153-167)
+_NUM_BODY_JOINTS = {"smpl": 21, "smplh": 21, "smplx": 21}
 
 
 class SmplxConfig(NamedTuple):
@@ -287,7 +289,12 @@ def full_pose_from_params(
             axis=1,
         )
     if mt == "mano":
-        return jnp.concatenate([params["global_orient"], hand("hand")], axis=1)
+        raw = params["hand_pose"]
+        if config.use_pca and "hand_comps_l" in consts:
+            raw = raw @ consts["hand_comps_l"]
+        if "hand_mean_l" in consts:
+            raw = raw + consts["hand_mean_l"]
+        return jnp.concatenate([params["global_orient"], raw], axis=1)
     raise ValueError(mt)
 
 

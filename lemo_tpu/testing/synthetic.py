@@ -98,6 +98,10 @@ def synthetic_smplx_npz(
     `full_size=True` gives the production 10475-vertex / 400-dir layout for
     benchmarking; the default is small for fast tests. Vertices are sampled
     around bones so LBS weights / markers behave plausibly.
+
+    `num_joints` also selects the model family the way the loaders infer
+    it from the posedirs width (body_model.py:68-69): 55 -> smplx,
+    24 -> smpl, 52 -> smplh, 16 -> mano.
     """
     if full_size:
         num_verts, num_joints, num_shape = 10475, 55, 400
@@ -106,7 +110,10 @@ def synthetic_smplx_npz(
     J = _synthetic_joints(num_joints, rng)
 
     # scatter vertices around random bones
-    parent = SMPLX_PARENTS[:num_joints].copy()
+    if num_joints <= 24:
+        parent = SMPL_PARENTS[:num_joints].copy()
+    else:
+        parent = SMPLX_PARENTS[:num_joints].copy()
     parent[0] = 0
     bone_of_vert = rng.randint(0, num_joints, size=num_verts)
     alpha = rng.rand(num_verts, 1)
@@ -140,9 +147,11 @@ def synthetic_smplx_npz(
     nfaces = max(2 * num_verts - 4, 4)
     f = rng.randint(0, num_verts, size=(nfaces, 3)).astype(np.int64)
 
+    parents_tab = (SMPL_PARENTS[:num_joints] if num_joints <= 24
+                   else SMPLX_PARENTS[:num_joints])
     kintree_table = np.stack([
-        np.where(SMPLX_PARENTS[:num_joints] < 0, np.uint32(2**32 - 1).astype(np.int64),
-                 SMPLX_PARENTS[:num_joints]),
+        np.where(parents_tab < 0,
+                 np.uint32(2**32 - 1).astype(np.int64), parents_tab),
         np.arange(num_joints, dtype=np.int64),
     ])
 
