@@ -18,7 +18,6 @@ re-designed TPU-first:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from lemo_tpu.ops.rotations import aa_to_matrot

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lemo_tpu.body_model import SmplxModel, load_model, make_forward_fn
+from lemo_tpu.body_model import load_model, make_forward_fn
 from lemo_tpu.data import markers as mk
 from lemo_tpu.data import repr as rep
 from lemo_tpu.data.stats import GlobalStats, Local4ChanStats, LocalFlatStats

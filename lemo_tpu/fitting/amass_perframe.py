@@ -22,7 +22,6 @@ Loss (opt_amass_perframe.py:339-353): L1 marker reconstruction +
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ encoder runs frozen inside the loss (its params are closure constants).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -275,8 +275,6 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
         if cfg.use_motion_infill_prior and assets.infill_ae_params:
             from lemo_tpu.body_model import make_forward_fn
             from lemo_tpu.body_model import vposer as vp
-            import jax as _jax
-
             fwd = make_forward_fn(model)
             body_pose = vp.decode(assets.vposer_params,
                                   warm["pose_embedding"], "aa")

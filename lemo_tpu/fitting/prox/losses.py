@@ -28,7 +28,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lemo_tpu.data.stats import GlobalStats
 from lemo_tpu.fitting.amass_temp import smoothness_prior_loss

@@ -19,9 +19,8 @@ import numpy as np
 
 from lemo_tpu.body_model import SmplxModel, make_forward_fn
 from lemo_tpu.body_model import vposer as vp
-from lemo_tpu.fitting.adam import piecewise_lr, run_adam
 from lemo_tpu.fitting.prox.losses import ProxStatic, ProxWeights, \
-    make_prox_loss, to_world
+    make_prox_loss
 
 
 @dataclasses.dataclass

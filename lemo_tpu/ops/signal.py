@@ -9,8 +9,6 @@ directions are bit-comparable.
 
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -15,10 +15,7 @@ parallel* axes of the workloads over ICI with jax.sharding + jit:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

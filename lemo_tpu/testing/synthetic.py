@@ -11,7 +11,6 @@ path change.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 
