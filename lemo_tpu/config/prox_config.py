@@ -109,6 +109,9 @@ class ProxConfig:
         "9,16", "9,17", "6,16", "6,17", "1,2", "12,22"])
     # scene terms
     sdf_penetration: bool = True
+    # bf16-packed SDF sampling: 2x faster penetration term at bf16 grid
+    # precision; set False for bit-exact fp32 trilinear parity
+    sdf_packed: bool = True
     sdf_penetration_weights: list = dataclasses.field(
         default_factory=lambda: [0.003])
     contact: bool = False

@@ -101,11 +101,14 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
     camera = PerspectiveCamera(cfg.focal_length_x, cfg.focal_length_y,
                                (cfg.camera_center_x, cfg.camera_center_y))
     R, t = rec.load_cam2world()
-    sdf = grid_min = grid_max = None
+    sdf = sdf_packed = grid_min = grid_max = None
     if cfg.sdf_penetration or cfg.use_friction:
-        sdf, grid_min, grid_max, _ = rec.load_sdf()
-        sdf, grid_min, grid_max = (jnp.asarray(sdf), jnp.asarray(grid_min),
-                                   jnp.asarray(grid_max))
+        sdf_np, grid_min, grid_max, _ = rec.load_sdf()
+        sdf = jnp.asarray(sdf_np)
+        grid_min, grid_max = jnp.asarray(grid_min), jnp.asarray(grid_max)
+        if getattr(cfg, "sdf_packed", True):
+            from lemo_tpu.ops.sdf import pack_grid_bf16
+            sdf_packed = jnp.asarray(pack_grid_bf16(sdf_np))
 
     jw = joint_weights.copy()
     if cfg.use_hands:
@@ -130,7 +133,8 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
         scan_mask=(jnp.asarray(window_data["scan_mask"])
                    if cfg.s2m or cfg.m2s else None),
         body_mask=jnp.asarray(body_mask),
-        sdf=sdf, grid_min=grid_min, grid_max=grid_max,
+        sdf=sdf, sdf_packed=sdf_packed,
+        grid_min=grid_min, grid_max=grid_max,
         scene_verts=(jnp.asarray(assets.scene_verts)
                      if cfg.contact and assets.scene_verts is not None
                      else None),

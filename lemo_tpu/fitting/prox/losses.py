@@ -94,6 +94,7 @@ class ProxStatic:
     body_mask: Any = None     # [V] bool, body without head
     # scene
     sdf: Any = None           # [D, D, D]
+    sdf_packed: Any = None    # [D, D, D] uint32 (ops.sdf.pack_grid_bf16)
     grid_min: Any = None      # [3]
     grid_max: Any = None      # [3]
     scene_verts: Any = None   # [Ns, 3] world
@@ -119,7 +120,8 @@ class ProxStatic:
 
 _STATIC_ARRAY_FIELDS = [
     "gt_joints", "joints_conf", "joint_weights", "R", "t", "scan",
-    "scan_mask", "body_mask", "sdf", "grid_min", "grid_max", "scene_verts",
+    "scan_mask", "body_mask", "sdf", "sdf_packed", "grid_min", "grid_max",
+    "scene_verts",
     "contact_verts_ids", "fric_verts_ids", "foot_ids", "smooth_enc_params",
     "smooth_stats", "smooth_marker_ids", "infill_targets",
     "infill_contact_lbl", "marker_mask", "infill_marker_ids", "faces",
@@ -316,8 +318,17 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
 
         if w.sdf_penetration > 0 and st.sdf is not None:
             k = max(int(w.sdf_vertex_stride), 1)
-            sdf_vals = sample_sdf_world(st.sdf, verts_world[:, ::k],
-                                        st.grid_min, st.grid_max)
+            # bf16-packed grid halves the gather count (the dominant cost
+            # of the whole window step on TPU); built by the driver when
+            # cfg.sdf_packed is set
+            if st.sdf_packed is not None:
+                sdf_vals = sample_sdf_world(st.sdf_packed,
+                                            verts_world[:, ::k],
+                                            st.grid_min, st.grid_max,
+                                            packed=True)
+            else:
+                sdf_vals = sample_sdf_world(st.sdf, verts_world[:, ::k],
+                                            st.grid_min, st.grid_max)
             pen = jnp.where(sdf_vals < 0, -sdf_vals, 0.0)
             terms["sdf_penetration_loss"] = w.sdf_penetration * \
                 pen.sum() * k

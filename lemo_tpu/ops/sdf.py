@@ -14,7 +14,9 @@ Implementation: 8-corner gather + trilinear blend. The gathers flatten to
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def normalize_points(points: jnp.ndarray, grid_min: jnp.ndarray,
@@ -90,9 +92,80 @@ def sample_grid_trilinear(grid: jnp.ndarray, coords: jnp.ndarray,
     return out[..., 0] if not has_channels else out
 
 
+def pack_grid_bf16(grid: np.ndarray) -> np.ndarray:
+    """Pack adjacent-in-k bf16 value pairs into one uint32 per cell.
+
+    ``packed[i, j, k]`` holds ``bf16(grid[i, j, k])`` in the low half-word
+    and ``bf16(grid[i, j, min(k+1, D-1)])`` in the high half-word, so ONE
+    gather fetches both k-corners of a trilinear cell. TPU gathers are
+    per-element bound (~8.5 ns/element regardless of element width up to
+    4 B), so this halves the cost of trilinear sampling: 4 uint32 gathers
+    instead of 8 fp32 gathers (measured 73 ms -> 37 ms for the PROX
+    penetration term's 1.05 M samples on v5e).
+
+    Precompute once per scene on the host (numpy). Same [D0, D1, D2]
+    shape as the input, so the body-AABB crop applies unchanged.
+    """
+    g = np.asarray(grid, np.float32)
+    lo = g.astype(jnp.bfloat16).view(np.uint16).astype(np.uint32)
+    hi_src = np.concatenate([g[:, :, 1:], g[:, :, -1:]], axis=2)
+    hi = hi_src.astype(jnp.bfloat16).view(np.uint16).astype(np.uint32)
+    return lo | (hi << 16)
+
+
+def _unpack_bf16_pair(w: jnp.ndarray):
+    lo = jax.lax.bitcast_convert_type(
+        (w & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16)
+    hi = jax.lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.bfloat16)
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+
+def sample_grid_trilinear_packed(packed: jnp.ndarray, coords: jnp.ndarray,
+                                 align_corners: bool = False) -> jnp.ndarray:
+    """Trilinear sampling from a :func:`pack_grid_bf16` grid.
+
+    Matches :func:`sample_grid_trilinear` up to bf16 quantization of the
+    grid values (<=0.4% relative; exact zero-crossings preserved). The
+    one semantic difference is below the grid's k=0 border, where the
+    exact path clamps both k-corners to plane 0 while the packed pair
+    always spans (k0, k0+1) — irrelevant for in-grid query points (body
+    vertices are always inside the scene SDF volume).
+    """
+    dims = jnp.asarray(packed.shape[:3], coords.dtype)
+    if align_corners:
+        pix = (coords + 1.0) / 2.0 * (dims - 1.0)
+    else:
+        pix = ((coords + 1.0) * dims - 1.0) / 2.0
+
+    lo = jnp.floor(pix)
+    frac = pix - lo
+    maxi = jnp.asarray(packed.shape[:3]) - 1
+    c000 = jnp.clip(lo, 0, maxi).astype(jnp.int32)
+    c11_ = jnp.clip(lo + 1.0, 0, maxi).astype(jnp.int32)
+
+    D0, D1, D2 = packed.shape[:3]
+    flat1 = packed.reshape(-1)
+    x0, y0, z0 = c000[..., 0], c000[..., 1], c000[..., 2]
+    x1, y1 = c11_[..., 0], c11_[..., 1]
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+
+    def take_pair(i0, i1):
+        v0, v1 = _unpack_bf16_pair(flat1[(i0 * D1 + i1) * D2 + z0])
+        return v0 * (1 - fz) + v1 * fz
+
+    v00 = take_pair(x0, y0)
+    v01 = take_pair(x0, y1)
+    v10 = take_pair(x1, y0)
+    v11 = take_pair(x1, y1)
+    v0 = v00 * (1 - fy) + v01 * fy
+    v1 = v10 * (1 - fy) + v11 * fy
+    return v0 * (1 - fx) + v1 * fx
+
+
 def sample_sdf_world(sdf_grid: jnp.ndarray, points_world: jnp.ndarray,
                      grid_min: jnp.ndarray, grid_max: jnp.ndarray,
-                     crop: int | None = 128):
+                     crop: int | None = 128, packed: bool = False):
     """SDF values at world-space points (border padding, align_corners
     False).
 
@@ -102,11 +175,15 @@ def sample_sdf_world(sdf_grid: jnp.ndarray, points_world: jnp.ndarray,
     cheaper on TPU, and results are identical whenever the points fit the
     window (guaranteed for body vertices; points outside clamp to the
     window border). Set crop=None for exact full-grid sampling.
+
+    With `packed=True`, `sdf_grid` must be a :func:`pack_grid_bf16` uint32
+    grid; sampling uses half as many gathers (2x faster) at bf16 grid
+    precision.
     """
+    sampler = sample_grid_trilinear_packed if packed \
+        else sample_grid_trilinear
     if crop is not None and sdf_grid.ndim == 3 and \
             min(sdf_grid.shape) > crop:
-        import jax
-
         D = jnp.asarray(sdf_grid.shape, points_world.dtype)
         cell = (grid_max - grid_min) / D
         pts = jax.lax.stop_gradient(points_world).reshape(-1, 3)
@@ -119,9 +196,9 @@ def sample_sdf_world(sdf_grid: jnp.ndarray, points_world: jnp.ndarray,
         sub_min = grid_min + starts.astype(points_world.dtype) * cell
         sub_max = sub_min + crop * cell
         coords = normalize_points(points_world, sub_min, sub_max)
-        return sample_grid_trilinear(sub, coords)
+        return sampler(sub, coords)
     coords = normalize_points(points_world, grid_min, grid_max)
-    return sample_grid_trilinear(sdf_grid, coords)
+    return sampler(sdf_grid, coords)
 
 
 def sdf_penetration_loss(sdf_vals: jnp.ndarray, weight: float = 1.0):

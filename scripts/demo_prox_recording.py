@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--windows", type=int, default=None)
     ap.add_argument("--window_parallel", action="store_true",
                     help="fit all windows concurrently (multi-chip mode)")
+    ap.add_argument("--exact_sdf", action="store_true",
+                    help="bit-exact fp32 SDF sampling instead of the "
+                         "2x-faster bf16-packed default")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +82,7 @@ def main():
         use_motion_smooth_prior=True, interpenetration=False,
         contact=False, use_motion_infill_prior=False,
         window_parallel=args.window_parallel,
+        sdf_packed=not args.exact_sdf,
     )
     # NOTE: the fit model is the generator's model when not full-size so
     # keypoints correspond; with full_size we fit the big mesh to the

@@ -176,3 +176,59 @@ class TestSdfCrop:
             grid, p, lo, hi, crop=96).sum())(pts)
         np.testing.assert_allclose(np.asarray(g_crop), np.asarray(g_full),
                                    rtol=1e-2, atol=1e-3)
+
+
+class TestSdfPacked:
+    def test_packed_matches_exact(self):
+        grid = RNG.randn(64, 64, 64).astype(np.float32)
+        packed = sdf_ops.pack_grid_bf16(grid)
+        assert packed.shape == grid.shape and packed.dtype == np.uint32
+        coords = jnp.asarray(RNG.uniform(-0.95, 0.95,
+                                         (300, 3)).astype(np.float32))
+        exact = sdf_ops.sample_grid_trilinear(jnp.asarray(grid), coords)
+        approx = sdf_ops.sample_grid_trilinear_packed(jnp.asarray(packed),
+                                                      coords)
+        # bf16 grid values: <= 2^-8 relative error per corner
+        np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
+                                   rtol=0.0, atol=np.abs(grid).max() * 0.01)
+
+    def test_packed_world_crop_path(self):
+        grid = RNG.randn(160, 160, 160).astype(np.float32)
+        lo = jnp.asarray([-3.0, -3.0, -1.0])
+        hi = jnp.asarray([3.0, 3.0, 3.0])
+        pts = jnp.asarray((RNG.randn(400, 3) * 0.3
+                           + np.array([0.3, 0.2, 1.0])).astype(np.float32))
+        exact = sdf_ops.sample_sdf_world(jnp.asarray(grid), pts, lo, hi)
+        packed = sdf_ops.sample_sdf_world(
+            jnp.asarray(sdf_ops.pack_grid_bf16(grid)), pts, lo, hi,
+            packed=True)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(exact),
+                                   atol=np.abs(grid).max() * 0.01)
+
+    def test_packed_gradients_flow(self):
+        grid = RNG.randn(48, 48, 48).astype(np.float32)
+        packed = jnp.asarray(sdf_ops.pack_grid_bf16(grid))
+        lo, hi = jnp.asarray([-1.0] * 3), jnp.asarray([1.0] * 3)
+        pts = jnp.asarray((RNG.randn(100, 3) * 0.2).astype(np.float32))
+        g_exact = jax.grad(lambda p: sdf_ops.sample_sdf_world(
+            jnp.asarray(grid), p, lo, hi, crop=None).sum())(pts)
+        g_packed = jax.grad(lambda p: sdf_ops.sample_sdf_world(
+            packed, p, lo, hi, crop=None, packed=True).sum())(pts)
+        assert np.isfinite(np.asarray(g_packed)).all()
+        # directions agree (values quantized => small deviation)
+        np.testing.assert_allclose(np.asarray(g_packed),
+                                   np.asarray(g_exact), rtol=0.15,
+                                   atol=0.3)
+
+    def test_zero_crossing_precision(self):
+        # bf16 absolute error shrinks near 0 — exactly where the
+        # penetration hinge lives
+        grid = (RNG.randn(32, 32, 32) * 0.01).astype(np.float32)
+        packed = sdf_ops.pack_grid_bf16(grid)
+        coords = jnp.asarray(RNG.uniform(-0.9, 0.9,
+                                         (200, 3)).astype(np.float32))
+        exact = sdf_ops.sample_grid_trilinear(jnp.asarray(grid), coords)
+        approx = sdf_ops.sample_grid_trilinear_packed(jnp.asarray(packed),
+                                                      coords)
+        np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
+                                   atol=1e-4)
