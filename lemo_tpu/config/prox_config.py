@@ -99,6 +99,9 @@ class ProxConfig:
     m2s_weights: list = dataclasses.field(default_factory=lambda: [1.0])
     rho_s2m: float = 0.2
     rho_m2s: float = 0.5
+    # optimizer steps per device dispatch (tunneled-TPU watchdog guard;
+    # lower it when slow terms like interpenetration are enabled)
+    steps_per_dispatch: int = 100
     # interpenetration
     interpenetration: bool = False
     coll_loss_weights: list = dataclasses.field(default_factory=lambda: [1e-5])

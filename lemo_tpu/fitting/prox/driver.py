@@ -196,7 +196,8 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     fitter = make_batched_window_fitter(
         assets.model, assets.vposer_params, mapper, statics[0], weights,
-        maxiters=cfg.maxiters, lr=cfg.lr, mesh=mesh)
+        maxiters=cfg.maxiters, lr=cfg.lr, mesh=mesh,
+        steps_per_dispatch=cfg.steps_per_dispatch)
     opt_vars, betas, losses = fitter(static_batch, warm, first_mask)
 
     results = []
@@ -304,7 +305,8 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
             window_fitter = make_window_fitter(
                 model, assets.vposer_params, mapper, static, weights,
                 maxiters=cfg.maxiters, lr=cfg.lr,
-                optim_type=cfg.optim_type)
+                optim_type=cfg.optim_type,
+                steps_per_dispatch=cfg.steps_per_dispatch)
         result = fit_window(
             model, assets.vposer_params, mapper, static, weights,
             warm, first_window=(widx == 0),

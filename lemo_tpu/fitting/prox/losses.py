@@ -65,6 +65,9 @@ class ProxWeights:
     friction_tangent: float = 20.0
     motion_infill_rec: float = 0.0
     motion_infill_contact: float = 0.0
+    # frames per chunk of the self-intersection term (memory/latency
+    # trade; see ops.intersection.batched_self_intersection)
+    coll_frame_chunk: int = 2
     # Performance knob (default = exact reference parity): sample the
     # scene SDF at every k-th body vertex and scale the penalty by k.
     # The SDF gather is the costliest op of the whole loss (~60 ms/step
@@ -303,7 +306,8 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
             terms["self_penetration_loss"] = w.coll * \
                 batched_self_intersection(
                     verts, st.faces, segm=st.faces_segm,
-                    ign_table=st.ign_table).sum()
+                    ign_table=st.ign_table,
+                    frame_chunk=max(int(w.coll_frame_chunk), 1)).sum()
         else:
             terms["self_penetration_loss"] = 0.0
 

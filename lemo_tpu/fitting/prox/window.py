@@ -84,6 +84,7 @@ def make_window_fitter(
     lr: float = 0.005,
     overlap_frac: float = 0.15,
     optim_type: str = "adam",
+    steps_per_dispatch: int = 100,
 ):
     """Build the per-window optimizer, compiled ONCE for the recording.
 
@@ -123,7 +124,9 @@ def make_window_fitter(
     # mathematically identical to one long scan (Adam state is carried
     # across chunks), but keeps individual XLA executions short — long
     # single dispatches can trip execution watchdogs on tunneled devices.
-    chunk = min(100, maxiters)
+    # Lower steps_per_dispatch (ProxConfig field) when slow terms (e.g.
+    # interpenetration at full scale, ~30 s/step) are enabled.
+    chunk = min(max(int(steps_per_dispatch), 1), maxiters)
     opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
     @jax.jit
@@ -180,6 +183,7 @@ def make_batched_window_fitter(
     lr: float = 0.005,
     overlap_frac: float = 0.15,
     mesh=None,
+    steps_per_dispatch: int = 100,
 ):
     """Window-PARALLEL fitter: all windows of a recording optimized
     concurrently, the window axis sharded across the device mesh — the
@@ -208,7 +212,7 @@ def make_batched_window_fitter(
                              static_template, weights,
                              model.config.num_expressions)
     mask_with = overlap_grad_mask(T, overlap_frac)
-    chunk = min(100, maxiters)
+    chunk = min(max(int(steps_per_dispatch), 1), maxiters)
     opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
     _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",

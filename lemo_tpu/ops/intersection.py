@@ -32,8 +32,10 @@ def face_geometry(verts: jnp.ndarray, faces: jnp.ndarray):
     tri = verts[faces]  # [F, 3, 3]
     c = tri.mean(axis=1)
     n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
-    r = jnp.linalg.norm(tri - c[:, None], axis=-1).max(axis=1)
+    # sqrt(x+eps) form: d norm/dx is NaN at exactly 0 (degenerate faces),
+    # and the NaN survives any downstream masking
+    n = n / jnp.sqrt((n ** 2).sum(-1, keepdims=True) + 1e-24)
+    r = jnp.sqrt(((tri - c[:, None]) ** 2).sum(-1) + 1e-24).max(axis=1)
     return c, n, r
 
 
@@ -130,7 +132,35 @@ def self_intersection_loss(
     return (phi ** 2).sum()
 
 
-def batched_self_intersection(verts_batch, faces, **kw):
-    """[B, V, 3] -> [B] energies (vmapped over frames)."""
-    return jax.vmap(lambda v: self_intersection_loss(v, faces, **kw))(
-        verts_batch)
+def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,
+                              **kw):
+    """[B, V, 3] -> [B] energies.
+
+    Frames are processed in chunks of `frame_chunk` via lax.map (vmap
+    inside the chunk): a plain vmap over the whole window materializes
+    the [B, F, k, 3, 3] candidate-triangle tensor — 26 GB at the PROX
+    production scale (B=100, F=20946, k=8), which OOMs a 16 GB chip.
+    Chunking bounds the peak at frame_chunk/B of that while keeping the
+    MXU busy; differentiability is preserved (lax.map is a scan).
+
+    Known limitation: on the tunneled single-chip dev setup, combining
+    this term with the full SMPL-X forward at production scale trips a
+    TPU-runtime kernel fault (the term alone, and chained through plain
+    matmuls, runs fine at the same scale — grad finite, ~32 s/step at
+    B=100/F=20946). All shipped LEMO configs run with coll weight 0, so
+    the default pipeline is unaffected; on CPU the combined pipeline
+    runs correctly (verified end-to-end via the main_slide CLI).
+    """
+    B = verts_batch.shape[0]
+    one = lambda v: self_intersection_loss(v, faces, **kw)  # noqa: E731
+    if B <= frame_chunk:
+        return jax.vmap(one)(verts_batch)
+    pad = (-B) % frame_chunk
+    vb = jnp.concatenate(
+        [verts_batch, jnp.zeros((pad,) + verts_batch.shape[1:],
+                                verts_batch.dtype)]) if pad else verts_batch
+    chunks = vb.reshape(-1, frame_chunk, *verts_batch.shape[1:])
+    # remat: without it the scan's backward stores every chunk's
+    # candidate-triangle tensor — the full 26 GB again
+    out = jax.lax.map(jax.checkpoint(jax.vmap(one)), chunks).reshape(-1)
+    return out[:B]

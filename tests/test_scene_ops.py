@@ -232,3 +232,37 @@ class TestSdfPacked:
                                                       coords)
         np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
                                    atol=1e-4)
+
+
+class TestBatchedIntersectionChunking:
+    def test_chunked_matches_vmap(self):
+        verts = RNG.randn(16, 24, 3).astype(np.float32) * 0.1
+        faces = np.stack([np.arange(0, 8), np.arange(8, 16),
+                          np.arange(16, 24)], axis=1).astype(np.int32)
+        full = jax.vmap(lambda v: isect.self_intersection_loss(
+            v, jnp.asarray(faces)))(jnp.asarray(verts))
+        chunked = isect.batched_self_intersection(
+            jnp.asarray(verts), jnp.asarray(faces), frame_chunk=4)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_non_divisible_batch(self):
+        verts = RNG.randn(7, 24, 3).astype(np.float32) * 0.1
+        faces = np.stack([np.arange(0, 8), np.arange(8, 16),
+                          np.arange(16, 24)], axis=1).astype(np.int32)
+        out = isect.batched_self_intersection(
+            jnp.asarray(verts), jnp.asarray(faces), frame_chunk=4)
+        assert out.shape == (7,)
+        full = jax.vmap(lambda v: isect.self_intersection_loss(
+            v, jnp.asarray(faces)))(jnp.asarray(verts))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_chunked_differentiable(self):
+        verts = jnp.asarray(RNG.randn(6, 24, 3).astype(np.float32) * 0.1)
+        faces = jnp.asarray(np.stack([np.arange(0, 8), np.arange(8, 16),
+                                      np.arange(16, 24)],
+                                     axis=1).astype(np.int32))
+        g = jax.grad(lambda v: isect.batched_self_intersection(
+            v, faces, frame_chunk=2).sum())(verts)
+        assert np.isfinite(np.asarray(g)).all()
