@@ -144,3 +144,37 @@ class TestProxFit:
         results = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)
         hist = results[0].loss_history
         assert hist[-1] < hist[0], hist[[0, -1]]
+
+
+class TestStepsPerDispatch:
+    def test_chunked_dispatch_identical(self, prox_base):
+        """steps_per_dispatch only changes dispatch granularity: Adam
+        state is carried across chunks, so the result is bit-identical."""
+        base, info = prox_base
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        enc = init_smooth_enc(jax.random.PRNGKey(0))
+        stats = GlobalStats(np.zeros((1, 1, 243)), np.ones(243))
+        assets = ProxAssets(model=model,
+                            vposer_params=info["vposer_params"],
+                            smooth_enc_params=enc, smooth_stats=stats)
+
+        def run(spd):
+            cfg = ProxConfig(
+                recording_dir=info["recording_dir"],
+                output_folder=tempfile.mkdtemp(),
+                batch_size=16, maxiters=6, lr=0.005, flip=False,
+                s2m=False, m2s=False, read_depth=False, read_mask=False,
+                init_mode="none", sdf_penetration=True, use_friction=True,
+                use_motion_smooth_prior=False, interpenetration=False,
+                contact=False, use_motion_infill_prior=False,
+                steps_per_dispatch=spd,
+            )
+            return run_prox_fitting(cfg, assets, max_windows=1,
+                                    verbose=False)[0]
+
+        r_all = run(100)   # one 6-step dispatch
+        r_two = run(2)     # three 2-step dispatches
+        np.testing.assert_array_equal(np.asarray(r_all.params["transl"]),
+                                      np.asarray(r_two.params["transl"]))
+        assert r_all.final_loss == r_two.final_loss
