@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--windows", type=int, default=None)
     ap.add_argument("--window_parallel", action="store_true",
                     help="fit all windows concurrently (multi-chip mode)")
+    ap.add_argument("--s3", action="store_true",
+                    help="Stage-3 config: enable the motion-infill prior "
+                         "(per-window AE finetune pre-pass + infill terms)")
     ap.add_argument("--exact_sdf", action="store_true",
                     help="bit-exact fp32 SDF sampling instead of the "
                          "2x-faster bf16-packed default")
@@ -41,7 +44,8 @@ def main():
     from lemo_tpu.config import ProxConfig
     from lemo_tpu.data.stats import GlobalStats
     from lemo_tpu.fitting.prox.driver import ProxAssets, run_prox_fitting
-    from lemo_tpu.priors.conv_ae import init_smooth_enc, \
+    from lemo_tpu.data.stats import Local4ChanStats
+    from lemo_tpu.priors.conv_ae import init_infill_ae, init_smooth_enc, \
         load_torch_state_dict
     from lemo_tpu.testing.synthetic import synthetic_smplx_npz
     from lemo_tpu.testing.synthetic_prox import \
@@ -80,7 +84,8 @@ def main():
         flip=False, s2m=False, m2s=False, read_depth=False, read_mask=False,
         sdf_penetration=True, use_friction=True,
         use_motion_smooth_prior=True, interpenetration=False,
-        contact=False, use_motion_infill_prior=False,
+        contact=False, use_motion_infill_prior=args.s3,
+        motion_infill_rec_weights=[2.0], motion_infill_contact_weights=[0.1],
         window_parallel=args.window_parallel,
         sdf_packed=not args.exact_sdf,
     )
@@ -89,8 +94,24 @@ def main():
     # small-body keypoints — throughput-representative, not accuracy.
     if not args.full_size_model:
         model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    infill_ae = infill_stats = None
+    if args.s3:
+        infill_ae = init_infill_ae(jax.random.PRNGKey(2))
+        try:
+            infill_stats = Local4ChanStats.load(
+                "/root/reference/preprocess_stats/"
+                "preprocess_stats_infill_local_markers_4chan.npz")
+        except Exception:
+            d = (1 + 67) * 3 + 4
+            infill_stats = Local4ChanStats(
+                Xmean_local=np.zeros(d, np.float32),
+                Xstd_local=np.ones(d, np.float32),
+                Xmean_global_xy=0.0, Xstd_global_xy=1.0,
+                Xmean_global_r=0.0, Xstd_global_r=1.0)
     assets = ProxAssets(model=model, vposer_params=info["vposer_params"],
-                        smooth_enc_params=enc, smooth_stats=stats)
+                        smooth_enc_params=enc, smooth_stats=stats,
+                        infill_ae_params=infill_ae,
+                        infill_stats=infill_stats)
 
     t1 = time.time()
     results = run_prox_fitting(cfg, assets, max_windows=args.windows,
