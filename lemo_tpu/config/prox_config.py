@@ -115,6 +115,8 @@ class ProxConfig:
     # bf16-packed SDF sampling: 2x faster penetration term at bf16 grid
     # precision; set False for bit-exact fp32 trilinear parity
     sdf_packed: bool = True
+    # fp8-quad SDF sampling (opt-in): 3.8x faster, ~2 mm SDF resolution
+    sdf_fp8: bool = False
     sdf_penetration_weights: list = dataclasses.field(
         default_factory=lambda: [0.003])
     contact: bool = False

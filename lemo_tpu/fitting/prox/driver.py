@@ -45,6 +45,7 @@ def weights_from_config(cfg: ProxConfig, stage: int = 0) -> ProxWeights:
         friction_tangent=w["friction_tangent"],
         motion_infill_rec=w["motion_infill_rec"],
         motion_infill_contact=w["motion_infill_contact"],
+        sdf_fp8=bool(getattr(cfg, "sdf_fp8", False)),
     )
 
 
@@ -106,7 +107,10 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
         sdf_np, grid_min, grid_max, _ = rec.load_sdf()
         sdf = jnp.asarray(sdf_np)
         grid_min, grid_max = jnp.asarray(grid_min), jnp.asarray(grid_max)
-        if getattr(cfg, "sdf_packed", True):
+        if getattr(cfg, "sdf_fp8", False):
+            from lemo_tpu.ops.sdf import pack_grid_fp8_quad
+            sdf_packed = jnp.asarray(pack_grid_fp8_quad(sdf_np))
+        elif getattr(cfg, "sdf_packed", True):
             from lemo_tpu.ops.sdf import pack_grid_bf16
             sdf_packed = jnp.asarray(pack_grid_bf16(sdf_np))
 

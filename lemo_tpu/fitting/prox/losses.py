@@ -68,6 +68,9 @@ class ProxWeights:
     # frames per chunk of the self-intersection term (memory/latency
     # trade; see ops.intersection.batched_self_intersection)
     coll_frame_chunk: int = 2
+    # st.sdf_packed holds fp8 quads instead of bf16 pairs (2 gathers,
+    # 3.8x; ~2 mm SDF resolution) — set with ProxConfig.sdf_fp8
+    sdf_fp8: bool = False
     # Performance knob (default = exact reference parity): sample the
     # scene SDF at every k-th body vertex and scale the penalty by k.
     # The SDF gather is the costliest op of the whole loss (~60 ms/step
@@ -329,7 +332,8 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
                 sdf_vals = sample_sdf_world(st.sdf_packed,
                                             verts_world[:, ::k],
                                             st.grid_min, st.grid_max,
-                                            packed=True)
+                                            packed="fp8" if w.sdf_fp8
+                                            else True)
             else:
                 sdf_vals = sample_sdf_world(st.sdf, verts_world[:, ::k],
                                             st.grid_min, st.grid_max)

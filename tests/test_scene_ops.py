@@ -266,3 +266,36 @@ class TestBatchedIntersectionChunking:
         g = jax.grad(lambda v: isect.batched_self_intersection(
             v, faces, frame_chunk=2).sum())(verts)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSdfFp8:
+    def test_fp8_quad_matches_exact_coarsely(self):
+        grid = RNG.randn(64, 64, 64).astype(np.float32)
+        packed = sdf_ops.pack_grid_fp8_quad(grid)
+        assert packed.shape == grid.shape and packed.dtype == np.uint32
+        coords = jnp.asarray(RNG.uniform(-0.95, 0.95,
+                                         (300, 3)).astype(np.float32))
+        exact = sdf_ops.sample_grid_trilinear(jnp.asarray(grid), coords)
+        approx = sdf_ops.sample_grid_trilinear_fp8(jnp.asarray(packed),
+                                                   coords)
+        # fp8 e4m3: ~6% relative per corner value
+        np.testing.assert_allclose(np.asarray(approx), np.asarray(exact),
+                                   atol=np.abs(grid).max() * 0.1)
+        err = np.abs(np.asarray(approx) - np.asarray(exact)).mean()
+        assert err < np.abs(grid).max() * 0.03
+
+    def test_fp8_world_path_and_gradients(self):
+        grid = RNG.randn(160, 160, 160).astype(np.float32)
+        packed = jnp.asarray(sdf_ops.pack_grid_fp8_quad(grid))
+        lo = jnp.asarray([-3.0, -3.0, -1.0])
+        hi = jnp.asarray([3.0, 3.0, 3.0])
+        pts = jnp.asarray((RNG.randn(300, 3) * 0.3
+                           + np.array([0.3, 0.2, 1.0])).astype(np.float32))
+        vals = sdf_ops.sample_sdf_world(packed, pts, lo, hi, packed="fp8")
+        exact = sdf_ops.sample_sdf_world(jnp.asarray(grid), pts, lo, hi)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(exact),
+                                   atol=np.abs(grid).max() * 0.1)
+        g = jax.grad(lambda p: sdf_ops.sample_sdf_world(
+            packed, p, lo, hi, packed="fp8").sum())(pts)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
