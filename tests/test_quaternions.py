@@ -67,3 +67,54 @@ def test_conj_inverts():
     out = np.asarray(q.qmul(jnp.asarray(a), q.qconj(jnp.asarray(a))))
     ident = np.tile([1.0, 0, 0, 0], (16, 1))
     np.testing.assert_allclose(out, ident, atol=1e-6)
+
+
+def test_slerp_matches_scipy():
+    from scipy.spatial.transform import Slerp
+    a, b = _scipy_q(16), _scipy_q(16)
+    t = 0.37
+    ours = np.asarray(q.slerp(jnp.asarray(a), jnp.asarray(b), t))
+    for i in range(16):
+        key = R.from_quat(np.stack([
+            np.concatenate([a[i, 1:], a[i, :1]]),
+            np.concatenate([b[i, 1:], b[i, :1]])]))
+        ref = Slerp([0.0, 1.0], key)([t]).as_quat()[0]
+        ref = np.concatenate([ref[3:], ref[:3]])
+        sign = np.sign(np.sum(ours[i] * ref))
+        np.testing.assert_allclose(ours[i], ref * sign, atol=1e-5)
+
+
+def test_slerp_endpoints_and_parallel():
+    a = _scipy_q(8)
+    np.testing.assert_allclose(np.asarray(q.slerp(a, a, 0.5)), a, atol=1e-6)
+    out0 = np.asarray(q.slerp(a, _scipy_q(8), 0.0))
+    sign = np.sign(np.sum(out0 * a, axis=1, keepdims=True))
+    np.testing.assert_allclose(out0 * sign, a, atol=1e-6)
+
+
+def test_matrix_roundtrip_matches_scipy():
+    a = _scipy_q(64)
+    m = np.asarray(q.to_matrix(jnp.asarray(a)))
+    ref = R.from_quat(np.concatenate([a[:, 1:], a[:, :1]], 1)).as_matrix()
+    np.testing.assert_allclose(m, ref, atol=1e-6)
+    back = np.asarray(q.from_matrix(jnp.asarray(m)))
+    sign = np.sign(np.sum(back * a, axis=1, keepdims=True))
+    np.testing.assert_allclose(back * sign, a, atol=1e-5)
+
+
+def test_euler_roundtrip():
+    for order in ("xyz", "yzx"):
+        a = _scipy_q(64)
+        e = np.asarray(q.to_euler(jnp.asarray(a), order))
+        back = np.asarray(q.from_euler(jnp.asarray(e), order))
+        sign = np.sign(np.sum(back * a, axis=1, keepdims=True))
+        np.testing.assert_allclose(back * sign, a, atol=1e-5)
+
+
+def test_from_euler_matches_scipy_intrinsic():
+    e = RNG.uniform(-np.pi, np.pi, (32, 3))
+    ours = np.asarray(q.from_euler(jnp.asarray(e), "xyz"))
+    ref = R.from_euler("XYZ", e).as_quat()
+    ref = np.concatenate([ref[:, 3:], ref[:, :3]], 1)
+    sign = np.sign(np.sum(ours * ref, axis=1, keepdims=True))
+    np.testing.assert_allclose(ours, ref * sign, atol=1e-6)
