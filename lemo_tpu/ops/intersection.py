@@ -50,6 +50,40 @@ def face_geometry(verts: jnp.ndarray, faces: jnp.ndarray):
     return c, n, r
 
 
+def build_adjacency_bits(faces: np.ndarray) -> np.ndarray:
+    """Static bit-packed face-adjacency table [F, ceil(F/32)] uint32.
+
+    Bit (f, g) is set when faces f and g share at least one vertex
+    (including f == g). Pure topology — computed once per model and
+    reused by every frame/window, so the per-pair adjacency test inside
+    the energy kernel becomes a 2-op bit unpack instead of 9 vertex-id
+    compares (~25% of the term's elementwise work).
+    """
+    faces = np.asarray(faces, np.int64)
+    F = faces.shape[0]
+    V = int(faces.max()) + 1
+    # vertex -> incident faces (CSR)
+    vid = faces.reshape(-1)
+    fid = np.repeat(np.arange(F, dtype=np.int64), 3)
+    order = np.argsort(vid, kind="stable")
+    vid_s, fid_s = vid[order], fid[order]
+    starts = np.searchsorted(vid_s, np.arange(V + 1))
+    W = (F + 31) // 32
+    bits = np.zeros((F, W), np.uint32)
+    for v in range(V):
+        inc = fid_s[starts[v]:starts[v + 1]]
+        if inc.size < 2:
+            if inc.size == 1:
+                f = inc[0]
+                bits[f, f >> 5] |= np.uint32(1) << np.uint32(f & 31)
+            continue
+        words = inc >> 5
+        masks = (np.uint32(1) << (inc & 31).astype(np.uint32))
+        for f in inc:
+            np.bitwise_or.at(bits[f], words, masks)
+    return bits
+
+
 def build_face_filter(faces: np.ndarray,
                       faces_segm: np.ndarray | None = None,
                       ign_part_pairs: list[str] | None = None,
@@ -59,7 +93,8 @@ def build_face_filter(faces: np.ndarray,
     faces_segm: [F] part id per face; ign_part_pairs: ["9,16", ...] part-id
     pairs whose collisions are ignored (cfg ign_part_pairs,
     cfg_files/PROXD_temp_S2.yaml:153)."""
-    out = {"faces": np.asarray(faces, np.int32)}
+    out = {"faces": np.asarray(faces, np.int32),
+           "adj_bits": build_adjacency_bits(faces)}
     if faces_segm is not None:
         out["segm"] = np.asarray(faces_segm, np.int32)
         pairs = set()
@@ -86,8 +121,13 @@ def self_intersection_loss(
     segm: jnp.ndarray | None = None,       # [F] part ids
     ign_table: jnp.ndarray | None = None,  # [P, P] bool, True = ignore
     col_block: int = 512,
+    adj_bits: jnp.ndarray | None = None,   # [F, ceil(F/32)] uint32 (static)
 ) -> jnp.ndarray:
-    """Scalar self-penetration energy for one body (dense blockwise sum)."""
+    """Scalar self-penetration energy for one body (dense blockwise sum).
+
+    Pass ``adj_bits=build_adjacency_bits(faces)`` to replace the 9
+    vertex-id compares per pair with a precomputed bit lookup.
+    """
     del max_candidates  # dense formulation covers all overlapping pairs
     c, n, r = face_geometry(verts, faces)
     F = faces.shape[0]
@@ -115,29 +155,42 @@ def self_intersection_loss(
     col_c = padc(c).reshape(n_blk, col_block, 3)
     col_r = padc(r).reshape(n_blk, col_block)
     col_tri = padc(tri).reshape(n_blk, col_block, 3, 3)
-    col_f = padc(faces, fill=-1).reshape(n_blk, col_block, 3)
     col_valid = padc(jnp.ones((F,), jnp.float32)).reshape(n_blk, col_block)
-    xs = (col_c, col_r, col_tri, col_f, col_valid)
+    xs = {"cj": col_c, "rj": col_r, "trij": col_tri, "validj": col_valid}
+    if adj_bits is not None:
+        assert col_block % 32 == 0
+        cb32 = col_block // 32
+        wpad = n_blk * cb32 - adj_bits.shape[1]
+        bits = jnp.pad(adj_bits, ((0, 0), (0, wpad)))     # [F, n_blk*cb32]
+        xs["bitsj"] = bits.reshape(F, n_blk, cb32).transpose(1, 0, 2)
+    else:
+        xs["fj"] = padc(faces, fill=-1).reshape(n_blk, col_block, 3)
     if irow is not None:
-        col_seg = padc(segm).reshape(n_blk, col_block)
-        xs = xs + (col_seg,)
+        xs["segj"] = padc(segm).reshape(n_blk, col_block)
+
+    shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def step(acc, inp):
-        if irow is not None:
-            cj, rj, trij, fj, validj, segj = inp
-        else:
-            cj, rj, trij, fj, validj = inp
+        cj, rj, trij, validj = (inp["cj"], inp["rj"], inp["trij"],
+                                inp["validj"])
         # bounding-sphere overlap on the MXU
         d2 = c2[:, None] + (cj ** 2).sum(-1)[None] - 2.0 * (c @ cj.T)
         m = d2 < (r[:, None] + rj[None, :]) ** 2            # [F, B]
         # adjacency prune: faces sharing any vertex (covers i == j)
-        adj = jnp.zeros(m.shape, bool)
-        for p in range(3):
-            for q in range(3):
-                adj = adj | (faces[:, p, None] == fj[None, :, q])
+        if adj_bits is not None:
+            words = inp["bitsj"]                            # [F, cb32]
+            adj = ((words[:, :, None] >> shifts) & 1).astype(
+                bool).reshape(m.shape)
+        else:
+            fj = inp["fj"]
+            adj = jnp.zeros(m.shape, bool)
+            for p in range(3):
+                for q in range(3):
+                    adj = adj | (faces[:, p, None] == fj[None, :, q])
         m = m & ~adj & (validj[None, :] > 0)
         if irow is not None:
-            onehot = jax.nn.one_hot(segj, irow.shape[1], dtype=jnp.float32)
+            onehot = jax.nn.one_hot(inp["segj"], irow.shape[1],
+                                    dtype=jnp.float32)
             m = m & ((irow @ onehot.T) < 0.5)
         # cone field of face i at the 3 vertices of face j
         e = acc
