@@ -162,8 +162,11 @@ def lbs(
     # the 12 coefficients and applying once is identical math to the
     # reference's homogeneous 4x4 path with 25% less matmul output traffic.
     num_joints = J_regressor.shape[0]
-    W = jnp.broadcast_to(lbs_weights[None], (B, V, num_joints))
-    T = jnp.matmul(W, A.reshape(B, num_joints, 12)).reshape(B, V, 3, 4)
+    # einsum (not broadcast batched matmul): lbs_weights is shared across
+    # the batch, and XLA lowers the vj,bjk contraction ~15% faster both
+    # directions than the [B, V, J] broadcast form (measured on v5e)
+    T = jnp.einsum("vj,bjk->bvk", lbs_weights,
+                   A.reshape(B, num_joints, 12)).reshape(B, V, 3, 4)
 
     verts = (jnp.einsum("bvmn,bvn->bvm", T[..., :3], v_posed)
              + T[..., 3])

@@ -31,19 +31,6 @@ from lemo_tpu.fitting.prox.losses import ProxStatic, ProxWeights
 from lemo_tpu.fitting.prox.window import fit_window, save_window_pkls
 
 
-_ADJ_BITS_CACHE: dict[int, np.ndarray] = {}
-
-
-def _adjacency_bits_cached(model) -> np.ndarray:
-    """Static face-adjacency bit table, built once per model topology
-    (build_window_static runs per window)."""
-    key = id(model)
-    if key not in _ADJ_BITS_CACHE:
-        from lemo_tpu.ops.intersection import build_adjacency_bits
-        _ADJ_BITS_CACHE[key] = build_adjacency_bits(np.asarray(model.faces))
-    return _ADJ_BITS_CACHE[key]
-
-
 def weights_from_config(cfg: ProxConfig, stage: int = 0) -> ProxWeights:
     w = cfg.stage_weights(stage)
     return ProxWeights(
@@ -167,8 +154,6 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
         marker_mask=jnp.asarray(window_data["marker_mask"]),
         infill_marker_ids=jnp.asarray(mk.marker_indices(False, num_verts=V)),
         faces=jnp.asarray(model.faces) if cfg.interpenetration else None,
-        faces_adj_bits=(jnp.asarray(_adjacency_bits_cached(model))
-                        if cfg.interpenetration else None),
     )
     if infill_result is not None:
         st = dataclasses.replace(

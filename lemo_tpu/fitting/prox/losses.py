@@ -121,7 +121,6 @@ class ProxStatic:
     faces: Any = None               # [F, 3]
     faces_segm: Any = None
     ign_table: Any = None
-    faces_adj_bits: Any = None      # [F, ceil(F/32)] uint32 (static topology)
     image_size: tuple = (1920, 1080)
 
 
@@ -132,7 +131,7 @@ _STATIC_ARRAY_FIELDS = [
     "contact_verts_ids", "fric_verts_ids", "foot_ids", "smooth_enc_params",
     "smooth_stats", "smooth_marker_ids", "infill_targets",
     "infill_contact_lbl", "marker_mask", "infill_marker_ids", "faces",
-    "faces_segm", "ign_table", "faces_adj_bits",
+    "faces_segm", "ign_table",
 ]
 _STATIC_AUX_FIELDS = ["camera", "image_size"]
 
@@ -311,7 +310,6 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
                 batched_self_intersection(
                     verts, st.faces, segm=st.faces_segm,
                     ign_table=st.ign_table,
-                    adj_bits=st.faces_adj_bits,
                     frame_chunk=max(int(w.coll_frame_chunk), 1)).sum()
         else:
             terms["self_penetration_loss"] = 0.0

@@ -50,40 +50,6 @@ def face_geometry(verts: jnp.ndarray, faces: jnp.ndarray):
     return c, n, r
 
 
-def build_adjacency_bits(faces: np.ndarray) -> np.ndarray:
-    """Static bit-packed face-adjacency table [F, ceil(F/32)] uint32.
-
-    Bit (f, g) is set when faces f and g share at least one vertex
-    (including f == g). Pure topology — computed once per model and
-    reused by every frame/window, so the per-pair adjacency test inside
-    the energy kernel becomes a 2-op bit unpack instead of 9 vertex-id
-    compares (~25% of the term's elementwise work).
-    """
-    faces = np.asarray(faces, np.int64)
-    F = faces.shape[0]
-    V = int(faces.max()) + 1
-    # vertex -> incident faces (CSR)
-    vid = faces.reshape(-1)
-    fid = np.repeat(np.arange(F, dtype=np.int64), 3)
-    order = np.argsort(vid, kind="stable")
-    vid_s, fid_s = vid[order], fid[order]
-    starts = np.searchsorted(vid_s, np.arange(V + 1))
-    W = (F + 31) // 32
-    bits = np.zeros((F, W), np.uint32)
-    for v in range(V):
-        inc = fid_s[starts[v]:starts[v + 1]]
-        if inc.size < 2:
-            if inc.size == 1:
-                f = inc[0]
-                bits[f, f >> 5] |= np.uint32(1) << np.uint32(f & 31)
-            continue
-        words = inc >> 5
-        masks = (np.uint32(1) << (inc & 31).astype(np.uint32))
-        for f in inc:
-            np.bitwise_or.at(bits[f], words, masks)
-    return bits
-
-
 def build_face_filter(faces: np.ndarray,
                       faces_segm: np.ndarray | None = None,
                       ign_part_pairs: list[str] | None = None,
@@ -93,8 +59,7 @@ def build_face_filter(faces: np.ndarray,
     faces_segm: [F] part id per face; ign_part_pairs: ["9,16", ...] part-id
     pairs whose collisions are ignored (cfg ign_part_pairs,
     cfg_files/PROXD_temp_S2.yaml:153)."""
-    out = {"faces": np.asarray(faces, np.int32),
-           "adj_bits": build_adjacency_bits(faces)}
+    out = {"faces": np.asarray(faces, np.int32)}
     if faces_segm is not None:
         out["segm"] = np.asarray(faces_segm, np.int32)
         pairs = set()
@@ -121,12 +86,14 @@ def self_intersection_loss(
     segm: jnp.ndarray | None = None,       # [F] part ids
     ign_table: jnp.ndarray | None = None,  # [P, P] bool, True = ignore
     col_block: int = 512,
-    adj_bits: jnp.ndarray | None = None,   # [F, ceil(F/32)] uint32 (static)
 ) -> jnp.ndarray:
     """Scalar self-penetration energy for one body (dense blockwise sum).
 
-    Pass ``adj_bits=build_adjacency_bits(faces)`` to replace the 9
-    vertex-id compares per pair with a precomputed bit lookup.
+    Note: the 9-compare adjacency test below was also prototyped as a
+    precomputed bit-packed table (pure topology). Both the bit-major and
+    a lane-tile layout measured SLOWER than the compares on v5e (9.9-13 s
+    vs 6.7 s per step at PROX scale) — uint unpack/relayout costs more
+    than the VPU int compares it saves — so the table was dropped.
     """
     del max_candidates  # dense formulation covers all overlapping pairs
     c, n, r = face_geometry(verts, faces)
@@ -156,19 +123,10 @@ def self_intersection_loss(
     col_r = padc(r).reshape(n_blk, col_block)
     col_tri = padc(tri).reshape(n_blk, col_block, 3, 3)
     col_valid = padc(jnp.ones((F,), jnp.float32)).reshape(n_blk, col_block)
-    xs = {"cj": col_c, "rj": col_r, "trij": col_tri, "validj": col_valid}
-    if adj_bits is not None:
-        assert col_block % 32 == 0
-        cb32 = col_block // 32
-        wpad = n_blk * cb32 - adj_bits.shape[1]
-        bits = jnp.pad(adj_bits, ((0, 0), (0, wpad)))     # [F, n_blk*cb32]
-        xs["bitsj"] = bits.reshape(F, n_blk, cb32).transpose(1, 0, 2)
-    else:
-        xs["fj"] = padc(faces, fill=-1).reshape(n_blk, col_block, 3)
+    xs = {"cj": col_c, "rj": col_r, "trij": col_tri, "validj": col_valid,
+          "fj": padc(faces, fill=-1).reshape(n_blk, col_block, 3)}
     if irow is not None:
         xs["segj"] = padc(segm).reshape(n_blk, col_block)
-
-    shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def step(acc, inp):
         cj, rj, trij, validj = (inp["cj"], inp["rj"], inp["trij"],
@@ -177,16 +135,11 @@ def self_intersection_loss(
         d2 = c2[:, None] + (cj ** 2).sum(-1)[None] - 2.0 * (c @ cj.T)
         m = d2 < (r[:, None] + rj[None, :]) ** 2            # [F, B]
         # adjacency prune: faces sharing any vertex (covers i == j)
-        if adj_bits is not None:
-            words = inp["bitsj"]                            # [F, cb32]
-            adj = ((words[:, :, None] >> shifts) & 1).astype(
-                bool).reshape(m.shape)
-        else:
-            fj = inp["fj"]
-            adj = jnp.zeros(m.shape, bool)
-            for p in range(3):
-                for q in range(3):
-                    adj = adj | (faces[:, p, None] == fj[None, :, q])
+        fj = inp["fj"]
+        adj = jnp.zeros(m.shape, bool)
+        for p in range(3):
+            for q in range(3):
+                adj = adj | (faces[:, p, None] == fj[None, :, q])
         m = m & ~adj & (validj[None, :] > 0)
         if irow is not None:
             onehot = jax.nn.one_hot(inp["segj"], irow.shape[1],

@@ -300,41 +300,3 @@ class TestSdfFp8:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
 
-
-class TestAdjacencyBits:
-    def _rand_mesh(self, V=60, F=90, seed=0):
-        rng = np.random.RandomState(seed)
-        v = rng.randn(V, 3).astype(np.float32) * 0.2
-        f = rng.randint(0, V, (F, 3)).astype(np.int32)
-        return jnp.asarray(v), f
-
-    def test_bits_table_matches_pairwise_definition(self):
-        _, f = self._rand_mesh()
-        bits = isect.build_adjacency_bits(f)
-        F = f.shape[0]
-        ref = np.zeros((F, F), bool)
-        for i in range(F):
-            for j in range(F):
-                ref[i, j] = bool(set(f[i]) & set(f[j]))
-        got = np.zeros((F, F), bool)
-        for j in range(F):
-            got[:, j] = (bits[:, j // 32] >> np.uint32(j % 32)) & 1
-        np.testing.assert_array_equal(got, ref)
-
-    def test_loss_identical_with_bits(self):
-        v, f = self._rand_mesh(seed=3)
-        bits = isect.build_adjacency_bits(f)
-        base = isect.self_intersection_loss(v, jnp.asarray(f))
-        fast = isect.self_intersection_loss(v, jnp.asarray(f),
-                                            adj_bits=jnp.asarray(bits))
-        np.testing.assert_allclose(float(fast), float(base), rtol=1e-6)
-        g0 = jax.grad(lambda vv: isect.self_intersection_loss(
-            vv, jnp.asarray(f)))(v)
-        g1 = jax.grad(lambda vv: isect.self_intersection_loss(
-            vv, jnp.asarray(f), adj_bits=jnp.asarray(bits)))(v)
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
-
-    def test_build_face_filter_includes_bits(self):
-        _, f = self._rand_mesh(seed=5)
-        flt = isect.build_face_filter(f)
-        assert flt["adj_bits"].shape == (f.shape[0], (f.shape[0] + 31) // 32)
