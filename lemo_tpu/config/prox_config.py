@@ -117,6 +117,12 @@ class ProxConfig:
     sdf_packed: bool = True
     # fp8-quad SDF sampling (opt-in): 3.8x faster, ~2 mm SDF resolution
     sdf_fp8: bool = False
+    # candidate-vertex SDF sampling (opt-in): sample the penetration term
+    # only at the K vertices whose warm-start body comes within
+    # `sdf_candidates_margin` of the scene (computed once per window, like
+    # the infill pre-pass). 0 = off (sample all vertices, exact parity).
+    sdf_candidates: int = 0
+    sdf_candidates_margin: float = 0.15
     sdf_penetration_weights: list = dataclasses.field(
         default_factory=lambda: [0.003])
     contact: bool = False

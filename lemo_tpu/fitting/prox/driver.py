@@ -93,6 +93,41 @@ def load_assets(cfg: ProxConfig) -> ProxAssets:
                       infill_stats=infill_stats)
 
 
+def _sdf_candidate_ids(cfg: ProxConfig, assets: ProxAssets, warm: dict,
+                       R, t, sdf, grid_min, grid_max) -> np.ndarray:
+    """[K] vertex ids whose warm-start body comes within
+    cfg.sdf_candidates_margin of the scene anywhere in the window.
+
+    One exact full-vertex SDF sampling per window (amortized over the
+    ~900 optimizer iterations that then sample only these K vertices).
+    Ids are the K smallest per-vertex min-SDF values, so if more than K
+    vertices are inside the margin the nearest/deepest win; if fewer, the
+    set is padded with the next-nearest vertices (harmless extra
+    samples)."""
+    from lemo_tpu.body_model import make_forward_fn, vposer as vp
+    from lemo_tpu.ops.sdf import sample_sdf_world
+
+    model = assets.model
+    params = {k: jnp.asarray(v) for k, v in warm.items()
+              if k != "pose_embedding"}
+    params["body_pose"] = vp.decode(
+        assets.vposer_params, jnp.asarray(warm["pose_embedding"]), "aa")
+    out = make_forward_fn(model)(params, model.consts)
+    vw = out["vertices"] @ jnp.asarray(R).T + jnp.asarray(t)
+    vals = sample_sdf_world(sdf, vw.reshape(-1, 3), grid_min, grid_max,
+                            crop=None)
+    min_sdf = np.asarray(vals.reshape(vw.shape[0], -1).min(axis=0))  # [V]
+    K = min(int(cfg.sdf_candidates), model.num_verts)
+    n_close = int((min_sdf < cfg.sdf_candidates_margin).sum())
+    if n_close > K:
+        import warnings
+        warnings.warn(
+            f"sdf_candidates={K} < {n_close} vertices within "
+            f"{cfg.sdf_candidates_margin} m of the scene at warm start; "
+            "raise sdf_candidates or the term may miss penetrations")
+    return np.argsort(min_sdf)[:K].astype(np.int32)
+
+
 def build_window_static(cfg: ProxConfig, assets: ProxAssets,
                         rec: ProxRecording, window_data: dict,
                         joint_weights: np.ndarray,
@@ -155,6 +190,11 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
         infill_marker_ids=jnp.asarray(mk.marker_indices(False, num_verts=V)),
         faces=jnp.asarray(model.faces) if cfg.interpenetration else None,
     )
+    if (cfg.sdf_penetration and sdf is not None
+            and getattr(cfg, "sdf_candidates", 0) > 0):
+        ids = _sdf_candidate_ids(cfg, assets, window_data["warm_start"],
+                                 R, t, sdf, grid_min, grid_max)
+        st = dataclasses.replace(st, sdf_candidate_ids=jnp.asarray(ids))
     if infill_result is not None:
         st = dataclasses.replace(
             st, infill_targets=infill_result.targets_world,
@@ -182,7 +222,8 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     statics = [build_window_static(cfg, assets, rec, wd, jw)
                for wd in window_data]
     _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
-                   "marker_mask", "infill_targets", "infill_contact_lbl"}
+                   "marker_mask", "infill_targets", "infill_contact_lbl",
+                   "sdf_candidate_ids"}
     batch_kw = {}
     for f in _dc.fields(statics[0].__class__):
         vals = [getattr(s, f.name) for s in statics]

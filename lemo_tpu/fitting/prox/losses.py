@@ -117,6 +117,12 @@ class ProxStatic:
     infill_contact_lbl: Any = None  # [Ti, 4]
     marker_mask: Any = None         # [T, 67] 1 = visible
     infill_marker_ids: Any = None   # [67]
+    # SDF-penetration candidate vertices (opt-in, cfg.sdf_candidates):
+    # ids of the K vertices whose WARM-START bodies come within
+    # `sdf_candidates_margin` of the scene, computed once per window like
+    # the infill targets. The penetration term then samples only these —
+    # the SDF gather is per-element bound, so cost scales with K/V.
+    sdf_candidate_ids: Any = None   # [K] int32
     # self-intersection
     faces: Any = None               # [F, 3]
     faces_segm: Any = None
@@ -130,8 +136,8 @@ _STATIC_ARRAY_FIELDS = [
     "scene_verts",
     "contact_verts_ids", "fric_verts_ids", "foot_ids", "smooth_enc_params",
     "smooth_stats", "smooth_marker_ids", "infill_targets",
-    "infill_contact_lbl", "marker_mask", "infill_marker_ids", "faces",
-    "faces_segm", "ign_table",
+    "infill_contact_lbl", "marker_mask", "infill_marker_ids",
+    "sdf_candidate_ids", "faces", "faces_segm", "ign_table",
 ]
 _STATIC_AUX_FIELDS = ["camera", "image_size"]
 
@@ -324,22 +330,27 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
         joints_world = to_world(joints_all, st.R, st.t)
 
         if w.sdf_penetration > 0 and st.sdf is not None:
-            k = max(int(w.sdf_vertex_stride), 1)
+            if st.sdf_candidate_ids is not None:
+                vsel = verts_world[:, st.sdf_candidate_ids]
+                scale = 1.0
+            else:
+                k = max(int(w.sdf_vertex_stride), 1)
+                vsel = verts_world[:, ::k]
+                scale = float(k)
             # bf16-packed grid halves the gather count (the dominant cost
             # of the whole window step on TPU); built by the driver when
             # cfg.sdf_packed is set
             if st.sdf_packed is not None:
-                sdf_vals = sample_sdf_world(st.sdf_packed,
-                                            verts_world[:, ::k],
+                sdf_vals = sample_sdf_world(st.sdf_packed, vsel,
                                             st.grid_min, st.grid_max,
                                             packed="fp8" if w.sdf_fp8
                                             else True)
             else:
-                sdf_vals = sample_sdf_world(st.sdf, verts_world[:, ::k],
+                sdf_vals = sample_sdf_world(st.sdf, vsel,
                                             st.grid_min, st.grid_max)
             pen = jnp.where(sdf_vals < 0, -sdf_vals, 0.0)
             terms["sdf_penetration_loss"] = w.sdf_penetration * \
-                pen.sum() * k
+                pen.sum() * scale
         else:
             terms["sdf_penetration_loss"] = 0.0
 

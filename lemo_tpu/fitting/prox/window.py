@@ -216,7 +216,8 @@ def make_batched_window_fitter(
     opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
 
     _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
-                   "marker_mask", "infill_targets", "infill_contact_lbl"}
+                   "marker_mask", "infill_targets", "infill_contact_lbl",
+                   "sdf_candidate_ids"}
     # in_axes prefix tree: same ProxStatic structure/aux as the template,
     # 0 on per-window fields, None elsewhere
     from lemo_tpu.fitting.prox.losses import _STATIC_ARRAY_FIELDS, \

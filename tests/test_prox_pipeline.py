@@ -178,3 +178,39 @@ class TestStepsPerDispatch:
         np.testing.assert_array_equal(np.asarray(r_all.params["transl"]),
                                       np.asarray(r_two.params["transl"]))
         assert r_all.final_loss == r_two.final_loss
+
+
+class TestSdfCandidates:
+    def test_pipeline_with_candidates_runs_and_matches(self, prox_base):
+        """With a candidate budget covering every near-scene vertex, the
+        candidate-sampled fit matches the full-vertex fit."""
+        base, info = prox_base
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        common = dict(
+            recording_dir=info["recording_dir"],
+            batch_size=16, maxiters=6, lr=0.005, flip=False,
+            s2m=False, m2s=False, read_depth=False, read_mask=False,
+            init_mode="none", sdf_penetration=True, use_friction=True,
+            use_motion_smooth_prior=False, interpenetration=False,
+            contact=False, use_motion_infill_prior=False,
+        )
+        assets = ProxAssets(model=model,
+                            vposer_params=info["vposer_params"])
+        full = run_prox_fitting(
+            ProxConfig(output_folder=tempfile.mkdtemp(), **common),
+            assets, max_windows=1, verbose=False)
+        cand = run_prox_fitting(
+            ProxConfig(output_folder=tempfile.mkdtemp(),
+                       sdf_candidates=model.num_verts,  # cover everything
+                       **common),
+            assets, max_windows=1, verbose=False)
+        # K = V covers every vertex -> identical penetration term
+        np.testing.assert_allclose(cand[0].loss_history,
+                                   full[0].loss_history, rtol=1e-5)
+
+        small = run_prox_fitting(
+            ProxConfig(output_folder=tempfile.mkdtemp(),
+                       sdf_candidates=64, **common),
+            assets, max_windows=1, verbose=False)
+        assert np.isfinite(small[0].final_loss)
