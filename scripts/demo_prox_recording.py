@@ -41,8 +41,7 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
-
+    
     from lemo_tpu.body_model import load_model
     from lemo_tpu.config import ProxConfig
     from lemo_tpu.data.stats import GlobalStats

@@ -2,7 +2,6 @@
 modes, LocalFlatStats."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

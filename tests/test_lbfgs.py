@@ -1,7 +1,6 @@
 """L-BFGS strong-Wolfe optimizer tests."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from lemo_tpu.fitting.lbfgs import create_optimizer, lbfgs_minimize

@@ -1,7 +1,6 @@
 """Native C++ host library: build, bind, match numpy."""
 
 import numpy as np
-import pytest
 
 from lemo_tpu.ops import native
 

@@ -6,7 +6,6 @@ import tempfile
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from lemo_tpu.body_model import load_model

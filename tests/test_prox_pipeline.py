@@ -5,14 +5,12 @@ import tempfile
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from lemo_tpu.body_model import load_model
 from lemo_tpu.config import ProxConfig
 from lemo_tpu.data.prox import (ProxRecording, ProxWindowDataset,
-                                read_keypoints, read_prox_pkl,
-                                sliding_windows)
+                                read_prox_pkl, sliding_windows)
 from lemo_tpu.data.stats import GlobalStats
 from lemo_tpu.fitting.prox.driver import ProxAssets, run_prox_fitting
 from lemo_tpu.priors.conv_ae import init_smooth_enc, load_torch_state_dict

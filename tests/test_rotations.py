@@ -7,7 +7,6 @@ implementation), not from the reference repo.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 from scipy.spatial.transform import Rotation as R
 
 from lemo_tpu.ops import rotations as rot

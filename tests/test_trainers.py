@@ -2,8 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
-import pytest
 
 from lemo_tpu.train import infill as ti
 from lemo_tpu.train import smooth as ts
