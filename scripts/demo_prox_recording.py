@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--fp8_sdf", action="store_true",
                     help="fp8-quad SDF sampling (2 gathers, 3.8x; "
                          "~2 mm SDF resolution)")
+    ap.add_argument("--sdf_candidates", type=int, default=0,
+                    help="sample the penetration term only at the K "
+                         "warm-start-nearest-to-scene vertices (0 = all)")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +93,7 @@ def main():
         motion_infill_rec_weights=[2.0], motion_infill_contact_weights=[0.1],
         window_parallel=args.window_parallel,
         sdf_packed=not args.exact_sdf, sdf_fp8=args.fp8_sdf,
+        sdf_candidates=args.sdf_candidates,
     )
     # NOTE: the fit model is the generator's model when not full-size so
     # keypoints correspond; with full_size we fit the big mesh to the
