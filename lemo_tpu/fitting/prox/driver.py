@@ -93,6 +93,34 @@ def load_assets(cfg: ProxConfig) -> ProxAssets:
                       infill_stats=infill_stats)
 
 
+_SDF_CACHE: dict = {}
+
+
+def _load_sdf_cached(cfg: ProxConfig, rec: ProxRecording):
+    """Per-recording cache of the scene SDF (device array + packed form).
+
+    The scene grid is identical for every window of a recording; loading
+    the 64+ MB npy and quantize-packing it per window cost ~1 s of the
+    ~14 s window wall-clock."""
+    key = (rec.sdf_dir, rec.scene_name,
+           bool(getattr(cfg, "sdf_fp8", False)),
+           bool(getattr(cfg, "sdf_packed", True)))
+    if key not in _SDF_CACHE:
+        sdf_np, grid_min, grid_max, _ = rec.load_sdf()
+        packed = None
+        if key[2]:
+            from lemo_tpu.ops.sdf import pack_grid_fp8_quad
+            packed = jnp.asarray(pack_grid_fp8_quad(sdf_np))
+        elif key[3]:
+            from lemo_tpu.ops.sdf import pack_grid_bf16
+            packed = jnp.asarray(pack_grid_bf16(sdf_np))
+        _SDF_CACHE[key] = (jnp.asarray(sdf_np), packed,
+                           jnp.asarray(grid_min), jnp.asarray(grid_max))
+        if len(_SDF_CACHE) > 4:   # bound device memory across recordings
+            _SDF_CACHE.pop(next(iter(_SDF_CACHE)))
+    return _SDF_CACHE[key]
+
+
 def _sdf_candidate_ids(cfg: ProxConfig, assets: ProxAssets, warm: dict,
                        R, t, sdf, grid_min, grid_max) -> np.ndarray:
     """[K] vertex ids whose warm-start body comes within
@@ -139,15 +167,7 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
     R, t = rec.load_cam2world()
     sdf = sdf_packed = grid_min = grid_max = None
     if cfg.sdf_penetration or cfg.use_friction:
-        sdf_np, grid_min, grid_max, _ = rec.load_sdf()
-        sdf = jnp.asarray(sdf_np)
-        grid_min, grid_max = jnp.asarray(grid_min), jnp.asarray(grid_max)
-        if getattr(cfg, "sdf_fp8", False):
-            from lemo_tpu.ops.sdf import pack_grid_fp8_quad
-            sdf_packed = jnp.asarray(pack_grid_fp8_quad(sdf_np))
-        elif getattr(cfg, "sdf_packed", True):
-            from lemo_tpu.ops.sdf import pack_grid_bf16
-            sdf_packed = jnp.asarray(pack_grid_bf16(sdf_np))
+        sdf, sdf_packed, grid_min, grid_max = _load_sdf_cached(cfg, rec)
 
     jw = joint_weights.copy()
     if cfg.use_hands:
