@@ -25,8 +25,9 @@ its point-sampled form:
 
 differentiable w.r.t. the vertices. Compared to the earlier kNN broad
 phase this covers every overlapping pair (the BVH semantics) instead of
-the k nearest, runs ~20x faster at PROX production scale, and its
-peak memory is O(F * col_block) instead of O(F * k * 9).
+the k nearest, measures 4.6x faster at PROX production scale (6.9 s vs
+32 s per value_and_grad step at B=100, F=20946 on v5e), and its peak
+memory is O(F * col_block) instead of O(F * k * 9).
 """
 
 from __future__ import annotations
