@@ -71,3 +71,25 @@ def test_main_slide_reference_yaml():
     s3 = parse_config(["--config",
                        "/root/reference/cfg_files/PROXD_temp_S3.yaml"])
     assert s3.use_motion_infill_prior is True
+
+
+def test_shipped_cfg_presets_parse():
+    import os
+    from lemo_tpu.config import parse_config
+
+    base = os.path.join(os.path.dirname(__file__), "..", "cfg_files")
+    for name, infill, cand in [
+        ("PROXD_temp_S2.yaml", False, 0),
+        ("PROXD_temp_S3.yaml", True, 0),
+        ("PROXD_temp_S2_tpu_fast.yaml", False, 2048),
+        ("PROXD_temp_S3_tpu_fast.yaml", True, 2048),
+    ]:
+        cfg = parse_config(["--config", os.path.join(base, name),
+                            "--recording_dir", "/tmp/x",
+                            "--output_folder", "/tmp/y"])
+        assert cfg.maxiters == 900 and cfg.batch_size == 100
+        assert cfg.use_motion_infill_prior == infill
+        assert cfg.sdf_candidates == cand
+        w = cfg.stage_weights(0)
+        assert w["motion_smooth"] == 1e8
+        assert w["friction_normal"] == (1.0 if infill else 10.0)
