@@ -87,7 +87,7 @@ def contact_friction_loss(verts, contact_lbl, foot_ids, fps: float = 30.0,
     return total
 
 
-def make_temporal_fitter(
+def _make_fit_core(
     model: SmplxModel,
     vposer_params: dict,
     smooth_enc_params: dict,
@@ -98,12 +98,11 @@ def make_temporal_fitter(
     num_steps: int = 100,
     weights: Stage2Weights = Stage2Weights(),
 ):
-    """Build a reusable jit-compiled Stage-2 fitter.
-
-    Returns ``fit(markers_target, contact_lbl, init72) -> (x72, losses)``
-    that compiles ONCE and is reused across clips — calling a fresh
-    closure per clip would re-trace the whole 100-step scan every time
-    (tens of seconds of compile on each call).
+    """Build the un-jitted Stage-2 fit core
+    ``fit(markers_target, contact_lbl, init72) -> (x72, losses)``; the
+    public wrappers jit it once (single-clip) or vmap+jit it
+    (clip-batched) — calling a fresh closure per clip would re-trace the
+    whole 100-step scan every time (tens of seconds of compile).
     """
     fwd = make_forward_fn(model)
     ids67 = jnp.asarray(marker_ids_67)
@@ -133,8 +132,7 @@ def make_temporal_fitter(
                 + weights.smooth * loss_smooth
                 + weights.contact_vel * loss_cv)
 
-    @jax.jit
-    def fit(markers_target, contact_lbl, init72):
+    def fit_core(markers_target, contact_lbl, init72):
         shape10 = init72[:, 6:16]  # betas frozen (opt_amass_temp.py:335)
         init_vars = {
             "transl": init72[:, 0:3],
@@ -149,7 +147,26 @@ def make_temporal_fitter(
              final["other"]], axis=-1)
         return x72, losses
 
-    return fit
+    return fit_core
+
+
+def make_temporal_fitter(*args, **kwargs):
+    """Single-clip Stage-2 fitter: fit(markers [T,67,3], contact [T,4],
+    init72 [T,72]) -> (x72, losses); compiled once, reused across clips."""
+    return jax.jit(_make_fit_core(*args, **kwargs))
+
+
+def make_temporal_fitter_batched(*args, **kwargs):
+    """Clip-BATCHED Stage-2 fitter: every input/output gains a leading
+    clip axis C (markers [C,T,67,3], ...).
+
+    The single-clip optimizer step is latency-bound on TPU (~2.5 ms for
+    ~10 GFLOP at T=100 — far under the chip's compute and bandwidth
+    ceilings), so vmapping clips multiplies throughput almost for free.
+    This is the production corpus layout: one chip fits C clips at once,
+    and the device mesh shards the corpus (parallel.clip_sharded_fit).
+    """
+    return jax.jit(jax.vmap(_make_fit_core(*args, **kwargs)))
 
 
 def fit_clip_temporal(

@@ -106,3 +106,31 @@ def test_smoothness_prior_prefers_smooth(setup):
     l_smooth = float(s2.smoothness_prior_loss(enc, smooth_m, joints0, stats))
     l_jerky = float(s2.smoothness_prior_loss(enc, jerky_m, joints0, stats))
     assert l_smooth < l_jerky * 0.5, (l_smooth, l_jerky)
+
+
+def test_batched_fitter_matches_per_clip(setup):
+    """vmapped clip batching must reproduce the single-clip fits."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lemo_tpu.fitting import amass_temp as s2
+
+    model, vpp, ids67, ids81, enc, stats, feet = setup
+    rng = np.random.RandomState(3)
+    C, T = 3, 12
+    target = jnp.asarray(rng.randn(C, T, 67, 3).astype(np.float32) * 0.2)
+    contact = jnp.asarray((rng.rand(C, T, 4) > 0.5).astype(np.float32))
+    init72 = jnp.asarray(rng.randn(C, T, 72).astype(np.float32) * 0.1)
+
+    single = s2.make_temporal_fitter(model, vpp, enc, stats, ids67, ids81,
+                                     feet, num_steps=5)
+    batched = s2.make_temporal_fitter_batched(model, vpp, enc, stats,
+                                              ids67, ids81, feet,
+                                              num_steps=5)
+    xb, lb = batched(target, contact, init72)
+    for c in range(C):
+        xs, ls = single(target[c], contact[c], init72[c])
+        # vmap changes XLA fusion/reassociation: fp32 drift ~1e-4 after
+        # 5 optimizer steps is expected, exact equality is not
+        np.testing.assert_allclose(np.asarray(xb[c]), np.asarray(xs),
+                                   rtol=3e-3, atol=5e-4)
