@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_loss_shape", type=float, default=0.01)
     p.add_argument("--weight_loss_hand", type=float, default=0.01)
     p.add_argument("--num_fit_steps", type=int, default=100)
+    p.add_argument("--clip_batch", type=int, default=1,
+                   help="fit this many clips concurrently (vmapped corpus "
+                        "layout; clips share the compiled fitter)")
     p.add_argument("--stats_path", type=str,
                    default="preprocess_stats/"
                            "preprocess_stats_infill_local_markers_4chan.npz")
@@ -113,11 +116,11 @@ def main(argv=None):
         m, vposer_params, enc, smooth_stats, ids67, ids81, feet,
         args.num_fit_steps, weights) for g, m in models.items()}
 
-    for i in range(args.start, min(args.end, len(clips)), args.step):
+    def prepare_clip(i):
+        """Infill inference + target reconstruction for one clip."""
         init_path = os.path.join(args.perframe_res_dir, args.dataset_name,
                                  f"body_params_opt_clip_{i}.npy")
         init72 = np.load(init_path)
-
         clip_img = jnp.asarray(images_n[i]).swapaxes(1, 2)[None]
         mask_dT = jnp.asarray(fi.amass_input_mask(clip_img.shape[2],
                                                   clip_img.shape[3]))
@@ -128,12 +131,43 @@ def main(argv=None):
                 np.asarray(contact))
         targets = s1.reconstruct_marker_targets(
             rec[0], clip_img[0], stats, jnp.asarray(aux["rot_0_pivot"][i]))
-
         gender = "male" if aux["gender"][i] == 1 else "female"
-        fitted, _ = fitters[gender](targets, contact, jnp.asarray(init72))
-        np.save(os.path.join(save_folder, f"body_params_opt_clip_{i}.npy"),
-                np.asarray(fitted))
-        print(f"[clip {i}] refined ({fitted.shape[0]} frames)")
+        return gender, targets, contact, jnp.asarray(init72)
+
+    indices = list(range(args.start, min(args.end, len(clips)), args.step))
+    if args.clip_batch <= 1:
+        for i in indices:
+            gender, targets, contact, init72 = prepare_clip(i)
+            fitted, _ = fitters[gender](targets, contact, init72)
+            np.save(os.path.join(save_folder,
+                                 f"body_params_opt_clip_{i}.npy"),
+                    np.asarray(fitted))
+            print(f"[clip {i}] refined ({fitted.shape[0]} frames)")
+    else:
+        # corpus layout: vmapped fits over clip batches, grouped by gender
+        fitters_b = {g: s2.make_temporal_fitter_batched(
+            m, vposer_params, enc, smooth_stats, ids67, ids81, feet,
+            args.num_fit_steps, weights) for g, m in models.items()}
+        by_gender = {}
+        for i in indices:
+            gender, targets, contact, init72 = prepare_clip(i)
+            by_gender.setdefault(gender, []).append(
+                (i, targets, contact, init72))
+        for gender, items in by_gender.items():
+            for k in range(0, len(items), args.clip_batch):
+                chunk = items[k:k + args.clip_batch]
+                # pad the last chunk to the compiled batch size
+                pad = args.clip_batch - len(chunk)
+                stack = lambda xs: jnp.stack(xs + [xs[-1]] * pad)  # noqa: E731
+                fitted, _ = fitters_b[gender](
+                    stack([c[1] for c in chunk]),
+                    stack([c[2] for c in chunk]),
+                    stack([c[3] for c in chunk]))
+                for (i, *_), x72 in zip(chunk, np.asarray(fitted)):
+                    np.save(os.path.join(
+                        save_folder, f"body_params_opt_clip_{i}.npy"), x72)
+                print(f"[clips {[c[0] for c in chunk]}] refined "
+                      f"(batch of {len(chunk)})")
 
 
 if __name__ == "__main__":
