@@ -72,9 +72,11 @@ def load_assets(cfg: ProxConfig) -> ProxAssets:
                        gender=cfg.gender, use_pca=cfg.use_pca,
                        num_pca_comps=cfg.num_pca_comps,
                        flat_hand_mean=cfg.flat_hand_mean)
-    vposer_params = load_torch_state_dict(
-        osp.join(cfg.vposer_ckpt, "snapshots", "latest.pkl")) \
-        if cfg.vposer_ckpt else None
+    vposer_params = None
+    if cfg.vposer_ckpt:
+        from lemo_tpu.utils.tools import load_vposer
+
+        vposer_params, _ = load_vposer(cfg.vposer_ckpt)
 
     smooth_enc = smooth_stats = None
     if cfg.use_motion_smooth_prior and cfg.AE_Enc_path:
