@@ -212,3 +212,40 @@ class TestSdfCandidates:
                        sdf_candidates=64, **common),
             assets, max_windows=1, verbose=False)
         assert np.isfinite(small[0].final_loss)
+
+    def test_candidate_ids_warning_and_clamp(self, prox_base):
+        """K smaller than the near-scene vertex count warns; K > V clamps."""
+        import warnings as _w
+
+        base, info = prox_base
+        from lemo_tpu.config import ProxConfig
+        from lemo_tpu.fitting.prox.driver import (ProxAssets,
+                                                  _sdf_candidate_ids)
+
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                               batch_size=8, flip=False)
+        wd = ds.load_window(0)
+        R, t = rec.load_cam2world()
+        sdf, gmin, gmax, _ = rec.load_sdf()
+        assets = ProxAssets(model=model,
+                            vposer_params=info["vposer_params"])
+        cfg = ProxConfig(recording_dir=info["recording_dir"],
+                         output_folder="/tmp/y", sdf_candidates=4,
+                         sdf_candidates_margin=1e9)  # everything is "near"
+        with _w.catch_warnings(record=True) as rec_w:
+            _w.simplefilter("always")
+            ids = _sdf_candidate_ids(cfg, assets, wd["warm_start"], R, t,
+                                     sdf, gmin, gmax)
+        assert ids.shape == (4,)
+        assert any("sdf_candidates" in str(x.message) for x in rec_w)
+
+        cfg2 = ProxConfig(recording_dir=info["recording_dir"],
+                          output_folder="/tmp/y",
+                          sdf_candidates=10 * model.num_verts)
+        ids2 = _sdf_candidate_ids(cfg2, assets, wd["warm_start"], R, t,
+                                  sdf, gmin, gmax)
+        assert ids2.shape == (model.num_verts,)
+        assert len(set(ids2.tolist())) == model.num_verts
