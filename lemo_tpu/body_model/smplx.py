@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -255,7 +256,8 @@ def full_pose_from_params(
     def hand(side: str) -> jnp.ndarray:
         raw = params[f"{side}_hand_pose"]
         if config.use_pca:
-            raw = raw @ consts[f"hand_comps_{side[0]}"]
+            raw = jnp.matmul(raw, consts[f"hand_comps_{side[0]}"],
+                             precision=jax.lax.Precision.HIGHEST)
         if f"hand_mean_{side[0]}" in consts:
             raw = raw + consts[f"hand_mean_{side[0]}"]
         return raw
@@ -291,7 +293,8 @@ def full_pose_from_params(
     if mt == "mano":
         raw = params["hand_pose"]
         if config.use_pca and "hand_comps_l" in consts:
-            raw = raw @ consts["hand_comps_l"]
+            raw = jnp.matmul(raw, consts["hand_comps_l"],
+                             precision=jax.lax.Precision.HIGHEST)
         if "hand_mean_l" in consts:
             raw = raw + consts["hand_mean_l"]
         return jnp.concatenate([params["global_orient"], raw], axis=1)
@@ -337,7 +340,8 @@ def smplx_forward(
 
     if config.use_face_landmarks and "lmk_vert_ids" in consts:
         tri = verts[:, consts["lmk_vert_ids"], :]  # [B, 51, 3verts, 3]
-        lmk = jnp.einsum("blvk,lv->blk", tri, consts["lmk_bary"])
+        lmk = jnp.einsum("blvk,lv->blk", tri, consts["lmk_bary"],
+                         precision=jax.lax.Precision.HIGHEST)
         joints = jnp.concatenate([joints, lmk], axis=1)
 
     if joint_mapper is not None:

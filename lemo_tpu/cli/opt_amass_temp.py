@@ -40,7 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_fit_steps", type=int, default=100)
     p.add_argument("--clip_batch", type=int, default=1,
                    help="fit this many clips concurrently (vmapped corpus "
-                        "layout; clips share the compiled fitter)")
+                        "layout; clips share the compiled fitter). Clips "
+                        "are grouped by (gender, frame count): a batch "
+                        "must be shape-uniform, so mixed-length corpora "
+                        "form one batch group per distinct length")
     p.add_argument("--stats_path", type=str,
                    default="preprocess_stats/"
                            "preprocess_stats_infill_local_markers_4chan.npz")
@@ -148,12 +151,14 @@ def main(argv=None):
         fitters_b = {g: s2.make_temporal_fitter_batched(
             m, vposer_params, enc, smooth_stats, ids67, ids81, feet,
             args.num_fit_steps, weights) for g, m in models.items()}
-        by_gender = {}
+        # group by (gender, T): stacking requires shape-uniform batches,
+        # and mixing frame counts would retrace the compiled fitter
+        by_group = {}
         for i in indices:
             gender, targets, contact, init72 = prepare_clip(i)
-            by_gender.setdefault(gender, []).append(
+            by_group.setdefault((gender, targets.shape[0]), []).append(
                 (i, targets, contact, init72))
-        for gender, items in by_gender.items():
+        for (gender, _T), items in by_group.items():
             for k in range(0, len(items), args.clip_batch):
                 chunk = items[k:k + args.clip_batch]
                 # pad the last chunk to the compiled batch size

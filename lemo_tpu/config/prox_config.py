@@ -162,6 +162,12 @@ class ProxConfig:
     # the device mesh (new capability — the reference is single-GPU
     # sequential; see window.make_batched_window_fitter for semantics)
     window_parallel: bool = False
+    # after the parallel fit, re-fit each window sequentially for this
+    # many iterations with its overlap head re-warm-started from the
+    # PREVIOUS window's fresh solution — restores the reference's
+    # sequential stitching semantics (fitting_temp_slide.py:283-289).
+    # 0 disables the polish pass.
+    window_polish_iters: int = 100
 
     def stage_weights(self, stage: int = 0) -> dict[str, float]:
         """Flatten the per-stage weight lists into a single-stage dict

@@ -26,6 +26,106 @@ except ImportError:  # pragma: no cover
 SCAN_MAX_POINTS = 20000  # fixed scan padding (data_parser_slide.py:317-323)
 
 
+def read_ply_vertices(path: str) -> np.ndarray:
+    """Minimal PLY reader -> vertex positions [N, 3] float32.
+
+    Handles ascii and binary_little_endian PLY with x/y/z float or double
+    vertex properties (the PROX `scenes/<scene>.ply` meshes; the reference
+    reads them through psbody.mesh at fit_temp_loadprox_slide.py:368-373).
+    Faces and other elements are skipped.
+    """
+    _SIZES = {"char": ("i1", 1), "uchar": ("u1", 1), "int8": ("i1", 1),
+              "uint8": ("u1", 1), "short": ("i2", 2), "ushort": ("u2", 2),
+              "int16": ("i2", 2), "uint16": ("u2", 2), "int": ("i4", 4),
+              "uint": ("u4", 4), "int32": ("i4", 4), "uint32": ("u4", 4),
+              "float": ("f4", 4), "float32": ("f4", 4),
+              "double": ("f8", 8), "float64": ("f8", 8)}
+    with open(path, "rb") as fh:
+        if fh.readline().strip() != b"ply":
+            raise ValueError(f"{path} is not a PLY file")
+        fmt = None
+        elements = []  # [(name, count, [(prop_name, dtype) | ('list', ...)])]
+        while True:
+            line = fh.readline()
+            if not line:
+                raise ValueError(f"{path}: unexpected EOF in header")
+            tok = line.decode("ascii", "replace").strip().split()
+            if not tok or tok[0] == "comment":
+                continue
+            if tok[0] == "format":
+                fmt = tok[1]
+            elif tok[0] == "element":
+                elements.append((tok[1], int(tok[2]), []))
+            elif tok[0] == "property":
+                if tok[1] == "list":
+                    elements[-1][2].append(("list", tok[2], tok[3], tok[4]))
+                else:
+                    elements[-1][2].append((tok[2], tok[1]))  # (name, type)
+            elif tok[0] == "end_header":
+                break
+        verts = None
+        for name, count, props in elements:
+            if fmt == "ascii":
+                if name == "vertex":
+                    rows = [fh.readline().split()[:len(props)]
+                            for _ in range(count)]
+                    arr = np.asarray(rows, np.float64)
+                    idx = [i for i, p in enumerate(props)
+                           if p[0] in ("x", "y", "z")]
+                    verts = arr[:, idx].astype(np.float32)
+                    break  # ascii: don't bother parsing faces
+                for _ in range(count):
+                    fh.readline()
+            else:
+                little = fmt == "binary_little_endian"
+                pre = "<" if little else ">"
+                if any(p[0] == "list" for p in props):
+                    # variable-length rows (faces): walk them
+                    if name == "vertex":
+                        raise ValueError(f"{path}: list property on vertex")
+                    for _ in range(count):
+                        for p in props:
+                            if p[0] == "list":
+                                cnt_t, item_t = _SIZES[p[1]], _SIZES[p[2]]
+                                n = int(np.frombuffer(
+                                    fh.read(cnt_t[1]),
+                                    pre + cnt_t[0])[0])
+                                fh.read(item_t[1] * n)
+                            else:
+                                fh.read(_SIZES[p[1]][1])
+                else:
+                    dt = np.dtype([(p[0], pre + _SIZES[p[1]][0])
+                                   for p in props])
+                    buf = fh.read(dt.itemsize * count)
+                    if name == "vertex":
+                        rec = np.frombuffer(buf, dt, count)
+                        verts = np.stack([rec["x"], rec["y"], rec["z"]],
+                                         axis=1).astype(np.float32)
+                        break
+    if verts is None:
+        raise ValueError(f"{path}: no vertex element found")
+    return verts
+
+
+def write_ply_vertices(path: str, verts: np.ndarray,
+                       faces: np.ndarray | None = None) -> None:
+    """ascii PLY writer (test fixtures / synthetic scenes)."""
+    verts = np.asarray(verts, np.float32)
+    with open(path, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {len(verts)}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        if faces is not None:
+            fh.write(f"element face {len(faces)}\n")
+            fh.write("property list uchar int vertex_indices\n")
+        fh.write("end_header\n")
+        for v in verts:
+            fh.write(f"{v[0]} {v[1]} {v[2]}\n")
+        if faces is not None:
+            for f in np.asarray(faces, np.int64):
+                fh.write("3 " + " ".join(str(i) for i in f) + "\n")
+
+
 def read_keypoints(path: str, use_hands: bool = True, use_face: bool = True,
                    use_face_contour: bool = False) -> np.ndarray | None:
     """OpenPose json -> [118, 3] (25 body + 2x21 hands + 51 face) keypoints
@@ -133,6 +233,14 @@ class ProxRecording:
                            self.scene_name + ".json")) as fh:
             m = np.asarray(json.load(fh))
         return m[:3, :3].astype(np.float32), m[:3, 3].astype(np.float32)
+
+    def load_scene_mesh(self) -> np.ndarray:
+        """Scene mesh vertices [Ns, 3] world coords from
+        scenes/<scene>.ply — the contact-term target point set
+        (fit_temp_loadprox_slide.py:365-373; only the vertices reach the
+        Chamfer contact loss, fitting_temp_slide.py:743-753)."""
+        return read_ply_vertices(
+            osp.join(self.scene_dir, self.scene_name + ".ply"))
 
     def load_sdf(self):
         """(sdf [D,D,D], grid_min, grid_max, normals or None) — the

@@ -92,21 +92,44 @@ def strong_wolfe(f_and_dirderiv: Callable, f0, g0, t0=1.0,
     return out.t, out.f_t
 
 
-@partial(jax.jit, static_argnames=("loss_fn", "max_iter", "history_size",
-                                   "use_line_search"))
-def lbfgs_minimize(loss_fn: Callable, init_params, max_iter: int = 100,
-                   history_size: int = 10, lr: float = 1.0,
-                   use_line_search: bool = True, tol_grad: float = 1e-7):
-    """Minimize loss_fn over a pytree. Returns (params, per-iter losses)."""
-    vg = jax.value_and_grad(loss_fn)
-    flat0, unravel = jax.flatten_util.ravel_pytree(init_params)
-    n = flat0.shape[0]
+def make_lbfgs_stepper(loss_fn: Callable, example_params,
+                       history_size: int = 10, lr: float = 1.0,
+                       use_line_search: bool = True,
+                       tol_grad: float = 1e-7, has_aux: bool = False):
+    """Stateful chunked L-BFGS: returns ``(init_state, run_chunk,
+    unravel)``.
+
+    ``init_state(params)`` builds the optimizer state;
+    ``run_chunk(state, num_steps)`` (jitted, num_steps static) advances it
+    and returns ``(state, losses [num_steps], aux_history)`` — so a long
+    fit can be dispatched in bounded chunks exactly like the Adam window
+    path (L-BFGS state, including the curvature ring buffer, is carried
+    across chunks: the result is identical to one long scan).
+
+    NaN guard: when a step produces a non-finite loss or iterate, the
+    iterate FREEZES (reference FittingMonitor semantics,
+    fitting_temp_slide.py:198-217 — abort-on-NaN, keep last good params)
+    and subsequent steps are no-ops.
+
+    With ``has_aux=True``, loss_fn returns (total, aux_dict) and
+    run_chunk's third output stacks the aux per iteration (honest per-step
+    term history instead of a repeated final snapshot).
+
+    ``loss_fn(params, *extra)``: any extra pytrees given to
+    ``run_chunk(state, num_steps, *extra)`` are forwarded — traced inputs,
+    so ONE compilation serves every (e.g.) window of a recording.
+    """
+    vg = jax.value_and_grad(loss_fn, has_aux=has_aux)
+    _, unravel = jax.flatten_util.ravel_pytree(example_params)
     m = history_size
 
-    def flat_vg(x):
-        v, g = vg(unravel(x))
-        gflat, _ = jax.flatten_util.ravel_pytree(g)
-        return v, gflat
+    def make_flat_vg(extra):
+        def flat_vg(x):
+            out, g = vg(unravel(x), *extra)
+            v, aux = out if has_aux else (out, None)
+            gflat, _ = jax.flatten_util.ravel_pytree(g)
+            return v, aux, gflat
+        return flat_vg
 
     def two_loop(g, S, Y, rho, k):
         # standard two-loop recursion over the valid ring entries
@@ -137,9 +160,12 @@ def lbfgs_minimize(loss_fn: Callable, init_params, max_iter: int = 100,
 
         return jax.lax.fori_loop(0, m, fwd, r)
 
-    def step(carry, _):
-        x, S, Y, rho, k, f_prev = carry
-        f, g = flat_vg(x)
+    def make_step(extra):
+      flat_vg = make_flat_vg(extra)
+
+      def step(carry, _):
+        x, S, Y, rho, k, dead = carry
+        f, aux, g = flat_vg(x)
         d = -two_loop(g, S, Y, rho, k)
         gd = jnp.dot(g, d)
         # fall back to steepest descent if not a descent direction
@@ -149,33 +175,60 @@ def lbfgs_minimize(loss_fn: Callable, init_params, max_iter: int = 100,
 
         if use_line_search:
             def f_dir(t):
-                v, gt = flat_vg(x + t * d)
+                v, _, gt = flat_vg(x + t * d)
                 return v, jnp.dot(gt, d)
 
             t, f_new = strong_wolfe(f_dir, f, gd, t0=lr)
         else:
             t = jnp.asarray(lr)
         x_new = x + t * d
-        _, g_new = flat_vg(x_new)
+        _, _, g_new = flat_vg(x_new)
         s = x_new - x
         y = g_new - g
         sy = jnp.dot(s, y)
         # only store curvature pairs with sy > 0
         store = sy > 1e-10
         idx = k % m
-        S = jnp.where(store, S.at[idx].set(s), S)
-        Y = jnp.where(store, Y.at[idx].set(y), Y)
-        rho = jnp.where(store, rho.at[idx].set(1.0 / jnp.maximum(sy, 1e-10)),
-                        rho)
-        k = k + jnp.where(store, 1, 0)
+        S_n = jnp.where(store, S.at[idx].set(s), S)
+        Y_n = jnp.where(store, Y.at[idx].set(y), Y)
+        rho_n = jnp.where(store,
+                          rho.at[idx].set(1.0 / jnp.maximum(sy, 1e-10)),
+                          rho)
+        k_n = k + jnp.where(store, 1, 0)
         converged = jnp.max(jnp.abs(g_new)) < tol_grad
-        x_out = jnp.where(converged, x_new, x_new)
-        return (x_out, S, Y, rho, k, f), f
+        x_n = jnp.where(converged, x_new, x_new)
+        # NaN guard: freeze on non-finite loss or iterate
+        bad_step = jnp.logical_or(~jnp.isfinite(f),
+                                  ~jnp.isfinite(x_new).all())
+        dead = jnp.logical_or(dead, bad_step)
+        keep = lambda new, old: jnp.where(dead, old, new)  # noqa: E731
+        carry_out = (keep(x_n, x), keep(S_n, S), keep(Y_n, Y),
+                     keep(rho_n, rho), jnp.where(dead, k, k_n), dead)
+        return carry_out, (f, aux)
 
-    S0 = jnp.zeros((m, n))
-    Y0 = jnp.zeros((m, n))
-    rho0 = jnp.zeros(m)
-    (xf, *_), losses = jax.lax.scan(
-        step, (flat0, S0, Y0, rho0, jnp.asarray(0), jnp.asarray(jnp.inf)),
-        None, length=max_iter)
-    return unravel(xf), losses
+      return step
+
+    def init_state(params):
+        flat0, _ = jax.flatten_util.ravel_pytree(params)
+        n = flat0.shape[0]
+        return (flat0, jnp.zeros((m, n)), jnp.zeros((m, n)), jnp.zeros(m),
+                jnp.asarray(0), jnp.asarray(False))
+
+    @partial(jax.jit, static_argnames=("num_steps",))
+    def run_chunk(state, num_steps: int, *extra):
+        state, (losses, aux) = jax.lax.scan(make_step(extra), state, None,
+                                            length=num_steps)
+        return state, losses, aux
+
+    return init_state, run_chunk, unravel
+
+
+def lbfgs_minimize(loss_fn: Callable, init_params, max_iter: int = 100,
+                   history_size: int = 10, lr: float = 1.0,
+                   use_line_search: bool = True, tol_grad: float = 1e-7):
+    """Minimize loss_fn over a pytree. Returns (params, per-iter losses)."""
+    init_state, run_chunk, unravel = make_lbfgs_stepper(
+        loss_fn, init_params, history_size=history_size, lr=lr,
+        use_line_search=use_line_search, tol_grad=tol_grad)
+    state, losses, _ = run_chunk(init_state(init_params), max_iter)
+    return unravel(state[0]), losses

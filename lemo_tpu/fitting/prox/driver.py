@@ -61,6 +61,28 @@ class ProxAssets:
     infill_ae_params: dict | None = None
     infill_stats: Local4ChanStats | None = None
     scene_verts: np.ndarray | None = None
+    # FilterFaces data (part-pair collision filtering): [F] part id per
+    # face + [P, P] bool ignore table folded from ign_part_pairs and the
+    # part parent tree (fit_temp_loadprox_slide.py:335-344)
+    faces_segm: np.ndarray | None = None
+    ign_table: np.ndarray | None = None
+
+
+def load_part_segm(part_segm_fn: str, faces: np.ndarray,
+                   ign_part_pairs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Read smplx_parts_segm.pkl ({'segm': [F], 'parents': [F]}, latin1
+    pickle like the reference at fit_temp_loadprox_slide.py:335-340) and
+    build the (faces_segm, ign_table) pair for the intersection kernel."""
+    import pickle
+
+    from lemo_tpu.ops.intersection import build_face_filter
+
+    with open(osp.expandvars(part_segm_fn), "rb") as fh:
+        data = pickle.load(fh, encoding="latin1")
+    filt = build_face_filter(faces, faces_segm=data["segm"],
+                             ign_part_pairs=list(ign_part_pairs),
+                             faces_parents=data.get("parents"))
+    return filt["segm"], filt["ign_table"]
 
 
 def load_assets(cfg: ProxConfig) -> ProxAssets:
@@ -88,11 +110,16 @@ def load_assets(cfg: ProxConfig) -> ProxAssets:
     infill_ae = infill_stats = None
     if cfg.use_motion_infill_prior and cfg.AE_infill_path:
         infill_ae = load_torch_state_dict(cfg.AE_infill_path)
+    faces_segm = ign_table = None
+    if cfg.interpenetration and cfg.part_segm_fn:
+        faces_segm, ign_table = load_part_segm(
+            cfg.part_segm_fn, model.faces, cfg.ign_part_pairs)
     return ProxAssets(model=model, vposer_params=vposer_params,
                       smooth_enc_params=smooth_enc,
                       smooth_stats=smooth_stats,
                       infill_ae_params=infill_ae,
-                      infill_stats=infill_stats)
+                      infill_stats=infill_stats,
+                      faces_segm=faces_segm, ign_table=ign_table)
 
 
 _SDF_CACHE: dict = {}
@@ -211,6 +238,12 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
         marker_mask=jnp.asarray(window_data["marker_mask"]),
         infill_marker_ids=jnp.asarray(mk.marker_indices(False, num_verts=V)),
         faces=jnp.asarray(model.faces) if cfg.interpenetration else None,
+        faces_segm=(jnp.asarray(assets.faces_segm)
+                    if cfg.interpenetration and assets.faces_segm is not None
+                    else None),
+        ign_table=(jnp.asarray(assets.ign_table)
+                   if cfg.interpenetration and assets.ign_table is not None
+                   else None),
     )
     if (cfg.sdf_penetration and sdf is not None
             and getattr(cfg, "sdf_candidates", 0) > 0):
@@ -267,9 +300,47 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
         steps_per_dispatch=cfg.steps_per_dispatch)
     opt_vars, betas, losses = fitter(static_batch, warm, first_mask)
 
+    sols = [{k: v[widx] for k, v in opt_vars.items()}
+            for widx in range(n_windows)]
+    loss_hists = [np.asarray(losses[widx]) for widx in range(n_windows)]
+
+    # Sequential-polish pass: the parallel fit's overlap-frozen head
+    # frames kept their warm-start values, not the previous window's
+    # fresh solution. Re-fit each window (in order) for a short run with
+    # its head re-warm-started from the previous window's polished
+    # solution — restoring the reference's sequential stitching semantics
+    # (fitting_temp_slide.py:283-289 + data_parser_slide.py:325-333
+    # own-output-first warm start).
+    polish = int(getattr(cfg, "window_polish_iters", 0) or 0)
+    if polish > 0 and n_windows > 1:
+        from lemo_tpu.fitting.prox.window import make_window_fitter
+
+        spans = ds.windows
+        pfitter = make_window_fitter(
+            assets.model, assets.vposer_params, mapper, statics[0],
+            weights, maxiters=polish, lr=cfg.lr,
+            steps_per_dispatch=cfg.steps_per_dispatch)
+        for widx in range(1, n_windows):
+            s_prev, e_prev = spans[widx - 1]
+            s_cur, _ = spans[widx]
+            ov_n = max(e_prev - s_cur, 0)
+            prox_params = dict(sols[widx])
+            prox_params["betas"] = betas[widx]
+            if ov_n > 0:
+                prev, off = sols[widx - 1], s_cur - s_prev
+                for k, v in list(prox_params.items()):
+                    if k != "betas":
+                        prox_params[k] = v.at[:ov_n].set(
+                            prev[k][off:off + ov_n])
+            final, p_losses, _terms, _betas = pfitter(
+                statics[widx], prox_params, first_window=False)
+            sols[widx] = final
+            loss_hists[widx] = np.concatenate(
+                [loss_hists[widx], np.asarray(p_losses)])
+
     results = []
     for widx in range(n_windows):
-        final = {k: v[widx] for k, v in opt_vars.items()}
+        final = sols[widx]
         body_pose = vp.decode(assets.vposer_params,
                               final["pose_embedding"], "aa")
         params_np = {k: np.asarray(v) for k, v in final.items()
@@ -280,15 +351,16 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
             params=params_np,
             pose_embedding=np.asarray(final["pose_embedding"]),
             body_pose=np.asarray(body_pose),
-            final_loss=float(losses[widx, -1]),
-            loss_history=losses[widx],
+            final_loss=float(loss_hists[widx][-1]),
+            loss_history=loss_hists[widx],
         )
         save_window_pkls(result, window_data[widx]["fns"], result_folder)
         results.append(result)
     if verbose:
         print(f"[window-parallel] {n_windows} windows on "
-              f"{len(jax.devices())} device(s) in {time.time() - t0:.1f}s; "
-              f"losses {[round(float(l[-1]), 3) for l in losses]}")
+              f"{len(jax.devices())} device(s) in {time.time() - t0:.1f}s"
+              f"{f' (+{polish}-iter polish)' if polish else ''}; "
+              f"losses {[round(float(h[-1]), 3) for h in loss_hists]}")
     return results
 
 
@@ -301,6 +373,11 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
     model = assets.model
 
     rec = ProxRecording.from_recording_dir(cfg.recording_dir)
+    if cfg.contact and cfg.load_scene and assets.scene_verts is None:
+        # scenes/<scene>.ply -> contact-term target point set
+        # (fit_temp_loadprox_slide.py:365-373)
+        assets = dataclasses.replace(assets,
+                                     scene_verts=rec.load_scene_mesh())
     output_folder = osp.join(osp.expandvars(cfg.output_folder),
                              rec.recording_name)
     result_folder = osp.join(output_folder, cfg.result_folder)

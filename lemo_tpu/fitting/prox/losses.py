@@ -171,8 +171,11 @@ jax.tree_util.register_pytree_node(GlobalStats, _stats_flatten,
 
 
 def to_world(points: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray):
-    """cam->world (fitting_temp_slide.py:679)."""
-    return points @ R.T + t
+    """cam->world (fitting_temp_slide.py:679). Exact f32 matmul: K=3 is
+    free on the MXU, and bf16 truncation here would put ~4 mm of error on
+    world vertices that feed 1 cm SDF/friction/contact thresholds."""
+    return jnp.matmul(points, R.T,
+                      precision=jax.lax.Precision.HIGHEST) + t
 
 
 def keypoint_loss(proj: jnp.ndarray, st: ProxStatic, w_data: float):

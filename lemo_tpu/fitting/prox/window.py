@@ -104,18 +104,54 @@ def make_window_fitter(
 
     if optim_type in ("lbfgs", "lbfgsls"):
         # strong-Wolfe L-BFGS over the whole window (the reference's
-        # optim_type=lbfgsls option, optim_factory.py:27-65)
-        from lemo_tpu.fitting.lbfgs import lbfgs_minimize
+        # optim_type=lbfgsls option, optim_factory.py:27-65). Same
+        # structure as the Adam path: chunked dispatches with optimizer
+        # state carried across them, a built-in NaN freeze, per-step term
+        # history, and the overlap gradient freeze — implemented here by
+        # optimizing only the non-frozen frames (the frozen head is a
+        # constant of the loss closure, which for L-BFGS is cleaner than
+        # masking gradients: a masked dimension would still pollute the
+        # curvature history).
+        from lemo_tpu.fitting.lbfgs import make_lbfgs_stepper
+
+        chunk_l = min(max(int(steps_per_dispatch), 1), maxiters)
+        erase_n_static = int(T * overlap_frac)
+
+        def loss_tail(tail, head, betas, static):
+            full = {k: jnp.concatenate([head[k], tail[k]]) for k in tail}
+            return loss_fn(full, betas, static)
+
+        # one stepper per freeze count (first window: 0; later: 15% of T)
+        # — head/betas/static are traced inputs, so each compiles once
+        steppers: dict = {}
 
         def fit_lbfgs(static: ProxStatic, prox_params, first_window: bool):
             opt_vars, betas = init_opt_vars(prox_params, T)
-            final, losses = lbfgs_minimize(
-                lambda v: loss_fn(v, betas, static)[0], opt_vars,
-                max_iter=maxiters, lr=1.0)
-            _, terms = loss_fn(final, betas, static)
-            terms = {k: np.asarray(v)[None].repeat(maxiters, 0)
-                     if hasattr(v, "shape") or isinstance(v, float) else v
-                     for k, v in terms.items()}
+            n_freeze = 0 if first_window else erase_n_static
+            head = {k: x[:n_freeze] for k, x in opt_vars.items()}
+            tail0 = {k: x[n_freeze:] for k, x in opt_vars.items()}
+
+            if n_freeze not in steppers:
+                steppers[n_freeze] = make_lbfgs_stepper(
+                    loss_tail, tail0, lr=1.0, has_aux=True)
+            init_state, run_chunk, unravel = steppers[n_freeze]
+            state = init_state(tail0)
+            all_losses, all_terms = [], []
+            done = 0
+            while done < maxiters:
+                state, losses, terms = run_chunk(state, chunk_l,
+                                                 head, betas, static)
+                all_losses.append(np.asarray(losses))
+                all_terms.append({k: np.asarray(v)
+                                  for k, v in terms.items()
+                                  if hasattr(v, "shape")})
+                done += chunk_l
+            tail = unravel(state[0])
+            final = {k: jnp.concatenate([head[k], tail[k]])
+                     for k in tail}
+            losses = jnp.asarray(np.concatenate(all_losses)[:maxiters])
+            terms = {k: np.concatenate([t[k] for t in all_terms])[:maxiters]
+                     for k in all_terms[0]}
             return final, losses, terms, betas
 
         return fit_lbfgs
@@ -193,8 +229,9 @@ def make_batched_window_fitter(
     Semantics note: every window warm-starts from the previous STAGE's
     pkls exactly like the reference; the overlap-frozen head frames keep
     their warm-start values instead of the previous window's fresh
-    solution (run a second sequential-polish pass if stitching parity is
-    required).
+    solution. The driver's sequential-polish pass
+    (driver._run_window_parallel, cfg.window_polish_iters) restores the
+    reference's stitching semantics afterwards.
 
     Returns ``fit(static_batch, prox_params_batch, first_mask)`` where
     every array carries a leading window axis W; per-window statics are

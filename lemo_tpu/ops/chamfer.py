@@ -48,16 +48,28 @@ def nn_distance(
     points_mask, _ = _pad_to_multiple(
         points_mask.astype(bool), chunk, 0, False)
 
-    q2 = (query ** 2).sum(-1)  # [N]
+    # Recenter both clouds for the SELECTION phase only: scene-frame
+    # coordinates are meters from the origin, and the expanded quadratic
+    # form q2+p2-2q.p cancels catastrophically under TPU's bf16 matmul
+    # truncation (~0.04 m^2 noise at |p|~3 m), mis-picking neighbors.
+    # The returned distance is re-derived exactly below, so correctness
+    # only needs the argmin to be right.
+    center = jax.lax.stop_gradient(query.mean(axis=0))
+    query_c = jax.lax.stop_gradient(query) - center
+    points_c = jax.lax.stop_gradient(points) - center
+
+    q2 = (query_c ** 2).sum(-1)  # [N]
     n_chunks = points.shape[0] // chunk
-    p_chunks = points.reshape(n_chunks, chunk, 3)
+    p_chunks = points_c.reshape(n_chunks, chunk, 3)
     m_chunks = points_mask.reshape(n_chunks, chunk)
 
     def step(carry, inp):
         best_d, best_i = carry
         pc, mc, base = inp
         p2 = (pc ** 2).sum(-1)  # [chunk]
-        cross = query @ pc.T    # [N, chunk] — MXU
+        cross = jnp.matmul(query_c, pc.T,
+                           precision=jax.lax.Precision.HIGHEST)
+        # [N, chunk] — MXU; exact f32 is free at K=3
         d = q2[:, None] + p2[None, :] - 2.0 * cross
         d = jnp.where(mc[None, :], d, jnp.inf)
         local_i = jnp.argmin(d, axis=1)

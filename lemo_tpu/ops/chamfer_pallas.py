@@ -56,7 +56,10 @@ def _kernel(q_ref, pt_ref, mask_ref, dist_ref, idx_ref):
         p2 = jnp.sum(p * p, axis=0, keepdims=True)   # [1, TP]
         cross = jax.lax.dot_general(
             q, p, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [TQ, TP] on the MXU
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)     # [TQ, TP] on the MXU
+        # HIGHEST: exact f32 (K=4 is free); default would truncate the
+        # coordinates to bf16 and corrupt the argmin for close pairs
         d = q2 + p2 - 2.0 * cross
         d = jnp.where(m > 0, d, jnp.inf)
         dmin = jnp.min(d, axis=1, keepdims=True)     # [TQ, 1]
@@ -93,10 +96,18 @@ def nn_distance_pallas(query: jnp.ndarray, points: jnp.ndarray,
     N = query.shape[0]
     if points_mask is None:
         points_mask = jnp.ones((points.shape[0],), jnp.float32)
+    # recenter for the selection phase (see chamfer.nn_distance: the
+    # expanded quadratic form cancels catastrophically at scene-frame
+    # magnitudes; the returned d2 is re-derived exactly below)
+    center = jax.lax.stop_gradient(query.mean(axis=0))
+    query_c = query - center
+    points_c = points - center
     q4, _ = _pad_rows(jnp.concatenate(
-        [query, jnp.zeros((query.shape[0], 1), query.dtype)], axis=1), _TQ)
+        [query_c, jnp.zeros((query.shape[0], 1), query.dtype)],
+        axis=1), _TQ)
     p4, _ = _pad_rows(jnp.concatenate(
-        [points, jnp.zeros((points.shape[0], 1), points.dtype)], axis=1), _TP)
+        [points_c, jnp.zeros((points.shape[0], 1), points.dtype)],
+        axis=1), _TP)
     m, _ = _pad_rows(points_mask.astype(jnp.float32)[:, None], _TP, 0.0)
     pt = p4.T                    # [4, Mp] points on lanes
     mt = m.T                     # [1, Mp]

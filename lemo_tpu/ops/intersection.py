@@ -59,7 +59,11 @@ def build_face_filter(faces: np.ndarray,
 
     faces_segm: [F] part id per face; ign_part_pairs: ["9,16", ...] part-id
     pairs whose collisions are ignored (cfg ign_part_pairs,
-    cfg_files/PROXD_temp_S2.yaml:153)."""
+    cfg_files/PROXD_temp_S2.yaml:153); faces_parents: [F] parent part id of
+    each face's part — collisions between a part and its parent part are
+    ignored too (torch-mesh-isect FilterFaces semantics, constructed at
+    fit_temp_loadprox_slide.py:335-344). All of it is folded into one
+    [P, P] bool ignore table consumed by self_intersection_loss."""
     out = {"faces": np.asarray(faces, np.int32)}
     if faces_segm is not None:
         out["segm"] = np.asarray(faces_segm, np.int32)
@@ -72,8 +76,16 @@ def build_face_filter(faces: np.ndarray,
         for a, b in pairs:
             if a < nseg and b < nseg:
                 tab[a, b] = True
+        if faces_parents is not None:
+            parents = np.asarray(faces_parents, np.int32)
+            out["parents"] = parents
+            # part -> parent part (any face of the part determines it)
+            for s, pa in zip(out["segm"], parents):
+                if 0 <= pa < nseg:
+                    tab[s, pa] = True
+                    tab[pa, s] = True
         out["ign_table"] = tab
-    if faces_parents is not None:
+    elif faces_parents is not None:
         out["parents"] = np.asarray(faces_parents, np.int32)
     return out
 
@@ -97,6 +109,13 @@ def self_intersection_loss(
     than the VPU int compares it saves — so the table was dropped.
     """
     del max_candidates  # dense formulation covers all overlapping pairs
+    # Recenter on the body centroid: the energy is translation-invariant,
+    # and scene-frame coordinates (|v| ~ meters) would otherwise push the
+    # expanded quadratic forms' absolute error past the cone bound
+    # rad2 ~ 1e-4 m^2. Combined with Precision.HIGHEST below (the matmuls
+    # are K=3 — exact f32 costs nothing), the depth/lat2/d2 tests stay
+    # accurate under TPU's default bf16 matmul truncation.
+    verts = verts - jax.lax.stop_gradient(verts.mean(axis=0))
     c, n, r = face_geometry(verts, faces)
     F = faces.shape[0]
     tri = verts[faces]                     # [F, 3, 3]
@@ -132,8 +151,10 @@ def self_intersection_loss(
     def step(acc, inp):
         cj, rj, trij, validj = (inp["cj"], inp["rj"], inp["trij"],
                                 inp["validj"])
-        # bounding-sphere overlap on the MXU
-        d2 = c2[:, None] + (cj ** 2).sum(-1)[None] - 2.0 * (c @ cj.T)
+        # bounding-sphere overlap on the MXU (exact f32: K=3, free)
+        hi = jax.lax.Precision.HIGHEST
+        d2 = (c2[:, None] + (cj ** 2).sum(-1)[None]
+              - 2.0 * jnp.matmul(c, cj.T, precision=hi))
         m = d2 < (r[:, None] + rj[None, :]) ** 2            # [F, B]
         # adjacency prune: faces sharing any vertex (covers i == j)
         fj = inp["fj"]
@@ -150,8 +171,9 @@ def self_intersection_loss(
         e = acc
         for a in range(3):
             v = trij[:, a]                                  # [B, 3]
-            depth = s[:, None] - n @ v.T                    # [F, B]
-            lat2 = ((v ** 2).sum(-1)[None] - 2.0 * (c @ v.T)
+            depth = s[:, None] - jnp.matmul(n, v.T, precision=hi)  # [F, B]
+            lat2 = ((v ** 2).sum(-1)[None]
+                    - 2.0 * jnp.matmul(c, v.T, precision=hi)
                     + c2[:, None] - depth ** 2)
             phi = jnp.where(m & (depth > 0) & (lat2 < rad2[:, None]),
                             depth, 0.0)

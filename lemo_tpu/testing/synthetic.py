@@ -276,6 +276,25 @@ def synthetic_marker_set(num_verts: int, n_markers: int = 67, seed: int = 3) -> 
     return {"markersets": [{"type": "synthetic", "indices": indices}]}
 
 
+def write_part_segm_pkl(path: str, faces: np.ndarray,
+                        num_parts: int = 8) -> dict:
+    """Synthetic smplx_parts_segm.pkl stand-in (the FilterFaces input,
+    fit_temp_loadprox_slide.py:335-340): faces bucketed into `num_parts`
+    contiguous vertex-id ranges; part parents form a chain (part p's
+    parent is p-1). Returns the dict that was pickled."""
+    import pickle
+
+    faces = np.asarray(faces)
+    V = int(faces.max()) + 1
+    segm = np.minimum(faces.min(axis=1) * num_parts // V,
+                      num_parts - 1).astype(np.int64)
+    part_parent = np.maximum(np.arange(num_parts) - 1, 0)
+    data = {"segm": segm, "parents": part_parent[segm]}
+    with open(path, "wb") as fh:
+        pickle.dump(data, fh, protocol=2)
+    return data
+
+
 def write_marker_jsons(directory: str, num_verts: int) -> None:
     os.makedirs(directory, exist_ok=True)
     for name, n in (("SSM2.json", 67), ("SSM2_withhand.json", 81)):

@@ -117,6 +117,18 @@ def write_synthetic_prox_recording(
         M[:3, 3] = t_c2w
         json.dump(M.tolist(), fh)
 
+    # scene mesh: a floor grid at z=0 in world coords (scenes/<scene>.ply,
+    # the contact-term target set)
+    from lemo_tpu.data.prox import write_ply_vertices
+
+    scenes_dir = osp.join(base_dir, "scenes")
+    os.makedirs(scenes_dir, exist_ok=True)
+    gx, gy = np.meshgrid(np.linspace(-2.5, 2.5, 24),
+                         np.linspace(-0.5, 4.5, 24))
+    floor_v = np.stack([gx.ravel(), gy.ravel(),
+                        np.zeros(gx.size)], axis=1).astype(np.float32)
+    write_ply_vertices(osp.join(scenes_dir, scene_name + ".ply"), floor_v)
+
     # floor-plane SDF
     sdf = synthetic_sdf_grid(dim=48, floor_z=0.0)
     sdf_dir = osp.join(base_dir, "scenes_sdf")

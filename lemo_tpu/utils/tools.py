@@ -65,7 +65,11 @@ def load_vposer(expr_dir: str):
     from lemo_tpu.priors.conv_ae import load_torch_state_dict
 
     snaps = sorted(glob.glob(os.path.join(expr_dir, "snapshots", "*.pt")) +
-                   glob.glob(os.path.join(expr_dir, "snapshots", "*.pkl")))
+                   glob.glob(os.path.join(expr_dir, "snapshots", "*.pkl")),
+                   # newest by mtime like the reference model_loader
+                   # (model_loader.py:50 sorts by os.path.getmtime);
+                   # lexicographic order only breaks ties
+                   key=lambda p: (os.path.getmtime(p), p))
     if not snaps:
         raise FileNotFoundError(f"no VPoser snapshots under {expr_dir}")
     path = snaps[-1]

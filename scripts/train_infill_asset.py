@@ -1,0 +1,109 @@
+"""Train and ship the motion-infill AE asset.
+
+The reference's pretrained infill AE blob is missing from its distribution
+(`runs/59547/AE_last_model.pkl` is in `.MISSING_LARGE_BLOBS`); only the
+training recipe survives (`runs/59547/params.json`: lr 1e-4, batch 120,
+4-chan local-marker images, 10/10/1 loss weights). This script reproduces
+that recipe on a synthetic AMASS corpus and commits the result so the S3
+pipeline (`cfg_files/PROXD_temp_S3.yaml`) runs with no external assets:
+
+    lemo_tpu/assets/infill_ae.npz            AE weights (our npz layout)
+    lemo_tpu/assets/infill_stats.npz         Local4ChanStats for the AE
+    lemo_tpu/assets/infill_ae_losscurve.json loss history
+
+Swap in a real-AMASS-trained model by pointing cfg.AE_infill_path at it;
+the shipped asset is the no-extra-assets default, trained on synthetic
+motion (its marker statistics, not AMASS's — retrain on licensed AMASS for
+paper-grade S3 results, same script with --amass_dir).
+
+Run: python scripts/train_infill_asset.py [--num_steps 3000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+ASSETS = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                  "lemo_tpu", "assets")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--num_steps", type=int, default=3000)
+    ap.add_argument("--batch_size", type=int, default=120)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--amass_dir", default=None,
+                    help="real AMASS root; synthetic corpus if omitted")
+    ap.add_argument("--out_dir", default=ASSETS)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from lemo_tpu.data import amass
+    from lemo_tpu.data.stats import Local4ChanStats
+    from lemo_tpu.priors.conv_ae import save_state_dict
+    from lemo_tpu.train import infill as ti
+    from lemo_tpu.testing.synthetic import (write_amass_dataset,
+                                            write_smplx_model_dir)
+
+    t0 = time.time()
+    if args.amass_dir:
+        amass_dir, datasets = args.amass_dir, amass.AMASS_TRAIN_DATASETS
+        model_dir = args.amass_dir  # caller supplies a real model path too
+    else:
+        tmp = tempfile.mkdtemp()
+        amass_dir = osp.join(tmp, "amass")
+        for k in range(6):
+            write_amass_dataset(amass_dir, dataset_name=f"Synth{k:02d}",
+                                num_subjects=2, seqs_per_subject=3,
+                                num_frames=3600, fps=60,
+                                seed=args.seed + 997 * k)
+        datasets = [f"Synth{k:02d}" for k in range(6)]
+        model_dir = write_smplx_model_dir(osp.join(tmp, "models"))
+
+    builder = amass.AmassRepresentationBuilder(model_dir, with_hand=False)
+    clips = amass.scan_amass(datasets, amass_dir, clip_seconds=4)
+    print(f"[INFO] {len(clips)} clips")
+    images, _ = amass.build_dataset(builder, clips, "local_markers_4chan",
+                                    clip_seconds=4)
+    stats = Local4ChanStats.compute(np.asarray(images))
+    images_n = np.asarray(stats.normalize(jnp.asarray(images)))
+
+    cfg = ti.InfillTrainConfig(lr=args.lr, batch_size=args.batch_size)
+    params, history = ti.train(images_n, cfg, args.num_steps,
+                               seed=args.seed, log_every=200)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    save_state_dict(params, osp.join(args.out_dir, "infill_ae.npz"))
+    stats.save(osp.join(args.out_dir, "infill_stats.npz"))
+    with open(osp.join(args.out_dir, "infill_ae_losscurve.json"),
+              "w") as fh:
+        json.dump({"recipe": {"lr": args.lr,
+                              "batch_size": args.batch_size,
+                              "num_steps": args.num_steps,
+                              "weights": [cfg.weight_loss_rec_body,
+                                          cfg.weight_loss_rec_body_v,
+                                          cfg.weight_loss_rec_contact_lbl],
+                              "corpus": ("synthetic" if not args.amass_dir
+                                         else args.amass_dir),
+                              "clips": len(clips)},
+                   "history": history}, fh, indent=1)
+    print(f"[DONE] {args.num_steps} steps in {time.time() - t0:.0f}s; "
+          f"first/last logged loss "
+          f"{history[0]['total']:.4f} / {history[-1]['total']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

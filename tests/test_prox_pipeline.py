@@ -144,6 +144,185 @@ class TestProxFit:
         assert hist[-1] < hist[0], hist[[0, -1]]
 
 
+class TestFilterFacesWiring:
+    def test_pipeline_interpenetration_with_part_filter(self, prox_base):
+        """interpenetration: True with a part-segm file: the driver loads
+        the pickle, builds the ignore table, and the loss's
+        self-penetration term sees it — with ALL part pairs ignored the
+        term is exactly zero at every step (dead-code guard for
+        build_face_filter wiring; fit_temp_loadprox_slide.py:319-344)."""
+        base, info = prox_base
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        from lemo_tpu.fitting.prox.driver import load_part_segm
+        from lemo_tpu.testing.synthetic import write_part_segm_pkl
+
+        segm_fn = os.path.join(tempfile.mkdtemp(), "parts_segm.pkl")
+        write_part_segm_pkl(segm_fn, np.asarray(model.faces), num_parts=4)
+        all_pairs = [f"{a},{b}" for a in range(4) for b in range(4)]
+        faces_segm, ign_table = load_part_segm(segm_fn, model.faces,
+                                               all_pairs)
+        assert ign_table.all()
+
+        def run(assets):
+            cfg = ProxConfig(
+                recording_dir=info["recording_dir"],
+                output_folder=tempfile.mkdtemp(),
+                batch_size=8, maxiters=4, lr=0.005, flip=False,
+                s2m=False, m2s=False, read_depth=False, read_mask=False,
+                init_mode="none", sdf_penetration=False, use_friction=False,
+                use_motion_smooth_prior=False, interpenetration=True,
+                coll_loss_weights=[1.0],
+                contact=False, use_motion_infill_prior=False,
+            )
+            return run_prox_fitting(cfg, assets, max_windows=1,
+                                    verbose=False)[0]
+
+        filtered = run(ProxAssets(model=model,
+                                  vposer_params=info["vposer_params"],
+                                  faces_segm=faces_segm,
+                                  ign_table=ign_table))
+        pen = filtered.term_history["self_penetration_loss"]
+        np.testing.assert_array_equal(pen, np.zeros_like(pen))
+        assert np.isfinite(filtered.final_loss)
+
+    def test_load_part_segm_reads_reference_pickle_format(self):
+        """latin1 pickle with 'segm'/'parents' keys, like
+        smplx_parts_segm.pkl."""
+        from lemo_tpu.fitting.prox.driver import load_part_segm
+        from lemo_tpu.testing.synthetic import write_part_segm_pkl
+
+        faces = np.array([[0, 1, 2], [2, 3, 4], [4, 5, 6], [6, 7, 8]])
+        fn = os.path.join(tempfile.mkdtemp(), "p.pkl")
+        data = write_part_segm_pkl(fn, faces, num_parts=2)
+        segm, tab = load_part_segm(fn, faces, ["0,1"])
+        np.testing.assert_array_equal(segm, data["segm"])
+        assert tab[0, 1] and tab[1, 0]
+
+
+class TestSceneContactFromConfig:
+    def test_contact_runs_from_config_alone(self, prox_base):
+        """contact: True with no injected scene_verts: the driver reads
+        scenes/<scene>.ply itself (fit_temp_loadprox_slide.py:365-373) and
+        the contact term is live."""
+        base, info = prox_base
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        cfg = ProxConfig(
+            recording_dir=info["recording_dir"],
+            output_folder=tempfile.mkdtemp(),
+            batch_size=8, maxiters=4, lr=0.005, flip=False,
+            s2m=False, m2s=False, read_depth=False, read_mask=False,
+            init_mode="none", sdf_penetration=False, use_friction=False,
+            use_motion_smooth_prior=False, interpenetration=False,
+            contact=True, contact_loss_weights=[1.0],
+            use_motion_infill_prior=False,
+        )
+        assets = ProxAssets(model=model,
+                            vposer_params=info["vposer_params"])
+        assert assets.scene_verts is None
+        res = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)[0]
+        contact = res.term_history["contact_loss"]
+        assert np.isfinite(contact).all() and (contact > 0).all()
+
+    def test_ply_roundtrip_ascii_and_binary(self):
+        from lemo_tpu.data.prox import read_ply_vertices, write_ply_vertices
+
+        verts = np.random.RandomState(0).randn(17, 3).astype(np.float32)
+        faces = np.array([[0, 1, 2], [3, 4, 5]])
+        d = tempfile.mkdtemp()
+        pa = os.path.join(d, "a.ply")
+        write_ply_vertices(pa, verts, faces)
+        np.testing.assert_allclose(read_ply_vertices(pa), verts, atol=1e-5)
+
+        # binary_little_endian with extra vertex props + face list element
+        pb = os.path.join(d, "b.ply")
+        with open(pb, "wb") as fh:
+            hdr = ("ply\nformat binary_little_endian 1.0\n"
+                   f"element vertex {len(verts)}\n"
+                   "property float x\nproperty float y\nproperty float z\n"
+                   "property uchar red\n"
+                   f"element face {len(faces)}\n"
+                   "property list uchar int vertex_indices\n"
+                   "end_header\n")
+            fh.write(hdr.encode())
+            rec = np.zeros(len(verts), dtype=np.dtype(
+                [("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("red", "u1")]))
+            rec["x"], rec["y"], rec["z"] = verts.T
+            fh.write(rec.tobytes())
+            for f in faces:
+                fh.write(np.uint8(3).tobytes())
+                fh.write(f.astype("<i4").tobytes())
+        np.testing.assert_allclose(read_ply_vertices(pb), verts, atol=1e-5)
+
+
+class TestLbfgslsWindow:
+    def test_pipeline_with_lbfgsls(self, prox_base):
+        """optim_type: lbfgsls end-to-end on a PROX window (the reference's
+        shipped alternative optimizer, optim_factory.py:27-65): loss
+        decreases, term history is honest per-step, NaN guard and chunked
+        dispatch are active, and the second window reuses the compiled
+        stepper + freezes its overlap head."""
+        base, info = prox_base
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        cfg = ProxConfig(
+            recording_dir=info["recording_dir"],
+            output_folder=tempfile.mkdtemp(),
+            batch_size=16, maxiters=8, lr=0.005, flip=False,
+            optim_type="lbfgsls", steps_per_dispatch=3,  # 3+3+2 dispatches
+            s2m=False, m2s=False, read_depth=False, read_mask=False,
+            init_mode="none", sdf_penetration=True, use_friction=True,
+            use_motion_smooth_prior=False, interpenetration=False,
+            contact=False, use_motion_infill_prior=False,
+        )
+        assets = ProxAssets(model=model,
+                            vposer_params=info["vposer_params"])
+        results = run_prox_fitting(cfg, assets, max_windows=2,
+                                   verbose=False)
+        assert len(results) == 2
+        for r in results:
+            assert np.isfinite(r.final_loss)
+            assert r.loss_history.shape == (8,)
+            # strong-Wolfe L-BFGS must strictly reduce a smooth objective
+            assert r.loss_history[-1] < r.loss_history[0]
+            # honest per-step history: the keypoint term varies across
+            # steps (a repeated final snapshot would be constant)
+            jl = r.term_history["joint_loss"]
+            assert jl.shape == (8,)
+            assert np.unique(jl).size > 1
+        # second window: frozen head frames keep their warm-start transl
+        wd1 = ProxWindowDataset(
+            ProxRecording.from_recording_dir(info["recording_dir"]),
+            output_params_dir=os.path.join(
+                cfg.output_folder, info["recording_name"]),
+            batch_size=16, flip=False, read_depth=False,
+            read_mask=False).load_window(1)
+        erase_n = int(16 * 0.15)
+        np.testing.assert_allclose(
+            results[1].params["transl"][:erase_n],
+            np.asarray(wd1["warm_start"]["transl"])[:erase_n], atol=1e-6)
+
+    def test_lbfgs_nan_guard_freezes(self):
+        """A loss that goes NaN mid-run freezes the iterate instead of
+        poisoning it."""
+        import jax.numpy as jnp
+
+        from lemo_tpu.fitting.lbfgs import make_lbfgs_stepper
+
+        def loss(v):
+            x = v["x"]
+            # NaN once x drifts past 0.5
+            val = jnp.where(x.sum() > 0.5, jnp.nan, ((x - 1.0) ** 2).sum())
+            return val, {"v": val}
+
+        init, run, unr = make_lbfgs_stepper(loss, {"x": jnp.zeros(2)},
+                                            has_aux=True)
+        st, losses, _ = run(init({"x": jnp.zeros(2)}), 12)
+        x = np.asarray(unr(st[0])["x"])
+        assert np.isfinite(x).all()
+
+
 class TestStepsPerDispatch:
     def test_chunked_dispatch_identical(self, prox_base):
         """steps_per_dispatch only changes dispatch granularity: Adam

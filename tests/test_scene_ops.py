@@ -148,6 +148,49 @@ class TestSelfIntersection:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
 
+    def test_ignored_part_pair_zero_energy(self):
+        """FilterFaces semantics: a penetrating pair whose parts are in
+        ign_part_pairs contributes NOTHING
+        (fit_temp_loadprox_slide.py:335-344)."""
+        v, f = self._two_tris(gap=-0.05)
+        filt = isect.build_face_filter(np.asarray(f),
+                                       faces_segm=np.array([0, 1]),
+                                       ign_part_pairs=["0,1"])
+        e = float(isect.self_intersection_loss(
+            v, f, segm=jnp.asarray(filt["segm"]),
+            ign_table=jnp.asarray(filt["ign_table"])))
+        assert e == 0.0
+        # same geometry without the filter has positive energy
+        assert float(isect.self_intersection_loss(v, f)) > 0.0
+
+    def test_parent_part_pair_ignored(self):
+        """Collisions between a part and its parent part are filtered
+        (torch-mesh-isect FilterFaces faces_parents behavior)."""
+        v, f = self._two_tris(gap=-0.05)
+        # part 1's parent is part 0 -> pair (0, 1) ignored
+        filt = isect.build_face_filter(
+            np.asarray(f), faces_segm=np.array([0, 1]),
+            ign_part_pairs=[], faces_parents=np.array([0, 0]))
+        e = float(isect.self_intersection_loss(
+            v, f, segm=jnp.asarray(filt["segm"]),
+            ign_table=jnp.asarray(filt["ign_table"])))
+        assert e == 0.0
+
+    def test_unrelated_part_pair_kept(self):
+        """A filter that ignores OTHER pairs leaves the energy unchanged."""
+        v, f = self._two_tris(gap=-0.05)
+        filt = isect.build_face_filter(np.asarray(f),
+                                       faces_segm=np.array([0, 1]),
+                                       ign_part_pairs=["2,3"])
+        # pad the table so part ids 2,3 exist
+        tab = np.zeros((4, 4), bool)
+        tab[2, 3] = tab[3, 2] = True
+        e_filt = float(isect.self_intersection_loss(
+            v, f, segm=jnp.asarray(filt["segm"]),
+            ign_table=jnp.asarray(tab)))
+        e_plain = float(isect.self_intersection_loss(v, f))
+        np.testing.assert_allclose(e_filt, e_plain, rtol=1e-6)
+
 
 class TestSdfCrop:
     def test_cropped_matches_full(self):

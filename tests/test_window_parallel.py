@@ -34,7 +34,7 @@ def test_window_parallel_matches_sequential_first_window():
         assets, max_windows=3, verbose=False)
     par = run_prox_fitting(
         ProxConfig(output_folder=tempfile.mkdtemp(), window_parallel=True,
-                   **common),
+                   window_polish_iters=0, **common),
         assets, max_windows=3, verbose=False)
 
     assert len(seq) == len(par) == 3
@@ -47,3 +47,66 @@ def test_window_parallel_matches_sequential_first_window():
     # differ by design — overlap frames keep warm-start values)
     for r in par[1:]:
         assert np.isfinite(r.final_loss)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_polish_restores_sequential_stitching():
+    """The sequential-polish pass (cfg.window_polish_iters) re-warm-starts
+    each window's overlap head from the previous window's fresh solution,
+    so polished window-parallel output converges to the sequential
+    fitter's (fitting_temp_slide.py:283-289 stitching semantics)."""
+    base = tempfile.mkdtemp()
+    info = write_synthetic_prox_recording(base, num_frames=40, seed=11,
+                                          write_depth=False)
+    model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    # keypoint-only loss: frames are independent, so stitching is the ONLY
+    # difference between the modes
+    common = dict(
+        recording_dir=info["recording_dir"],
+        batch_size=16, maxiters=30, lr=0.01, flip=False,
+        s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=False, use_friction=False,
+        use_motion_smooth_prior=False, interpenetration=False,
+        contact=False, use_motion_infill_prior=False,
+    )
+    assets = ProxAssets(model=model, vposer_params=info["vposer_params"])
+
+    seq = run_prox_fitting(
+        ProxConfig(output_folder=tempfile.mkdtemp(), **common),
+        assets, max_windows=3, verbose=False)
+    par0 = run_prox_fitting(
+        ProxConfig(output_folder=tempfile.mkdtemp(), window_parallel=True,
+                   window_polish_iters=0, **common),
+        assets, max_windows=3, verbose=False)
+    parP = run_prox_fitting(
+        ProxConfig(output_folder=tempfile.mkdtemp(), window_parallel=True,
+                   window_polish_iters=30, **common),
+        assets, max_windows=3, verbose=False)
+
+    erase_n = int(16 * 0.15)  # frames frozen at the head of each window
+    ov_n = 16 - int(16 * 0.7)  # overlap with the previous window
+    for w in (1, 2):
+        # The stitching semantics live in the OVERLAP frames: sequential
+        # mode warm-starts them from the previous window's solution
+        # (own-output-first pkls); the polish pass reproduces exactly that
+        # (frozen head = previous solution verbatim; the rest re-optimized
+        # from it). Tail frames get extra polish iterations by design, so
+        # only the overlap region is compared.
+        t_seq = np.asarray(seq[w].params["transl"])[:ov_n]
+        d0 = np.abs(
+            np.asarray(par0[w].params["transl"])[:ov_n] - t_seq).mean()
+        dP = np.abs(
+            np.asarray(parP[w].params["transl"])[:ov_n] - t_seq).mean()
+        assert dP < d0, (w, dP, d0)
+        # w=1: the previous window (0) is identical in both modes, so the
+        # frozen head is near bit-parity and the re-optimized overlap
+        # follows the same Adam trajectory from the same init. w>=2
+        # inherits window 1's tail, which converged further under polish
+        # (extra iterations) — only the dP < d0 improvement is asserted.
+        if w == 1:
+            np.testing.assert_allclose(
+                np.asarray(parP[w].params["transl"])[:erase_n],
+                t_seq[:erase_n], atol=5e-4)
+            np.testing.assert_allclose(
+                np.asarray(parP[w].params["transl"])[erase_n:ov_n],
+                t_seq[erase_n:ov_n], atol=5e-3)
