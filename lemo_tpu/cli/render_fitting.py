@@ -1,6 +1,9 @@
 """Render PROX fitting results (reference temp_prox/renderer.py +
 viz/viz_fitting.py surface): load per-frame result pkls, rebuild the
-bodies, and save overlay/skeleton images (headless matplotlib backend)."""
+bodies, and save (a) body-over-Color-frame overlay renders — the
+reference's `<frame>_output.png` (renderer.py:60-140), via the built-in
+software rasterizer — and (b) a marker animation sheet (headless
+matplotlib)."""
 
 from __future__ import annotations
 
@@ -16,12 +19,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fitting_dir", type=str, required=True,
                    help="output folder of main_slide (contains results/)")
     p.add_argument("--model_folder", type=str, required=True)
+    p.add_argument("--recording_dir", type=str, default=None,
+                   help="PROX recording dir (for Color frames); overlay "
+                        "renders are skipped when absent")
     p.add_argument("--gender", type=str, default="male")
     p.add_argument("--start", type=int, default=0)
     p.add_argument("--step", type=int, default=10)
     p.add_argument("--count", type=int, default=8)
     p.add_argument("--out_dir", type=str, default=None)
     p.add_argument("--vposer_ckpt", type=str, default=None)
+    p.add_argument("--flip", type=lambda x: x.lower() in ("true", "1"),
+                   default=True,
+                   help="flip Color frames horizontally like the "
+                        "reference renderer (PROX fits mirrored frames)")
+    p.add_argument("--body_color", type=str, default="pink",
+                   choices=["pink", "white"])
+    p.add_argument("--fx", type=float, default=1060.53)
+    p.add_argument("--fy", type=float, default=1060.38)
+    p.add_argument("--cx", type=float, default=951.30)
+    p.add_argument("--cy", type=float, default=536.77)
     return p
 
 
@@ -66,6 +82,35 @@ def main(argv=None):
                                  osp.join(out_dir, "fitting_frames.png"),
                                  stride=1, max_frames=len(frames))
     print(f"saved {path}")
+
+    # body-over-Color overlay renders (renderer.py:110-133 semantics)
+    if args.recording_dir:
+        import cv2
+
+        from lemo_tpu.utils.raster import PINK, render_body_overlay
+
+        color = PINK if args.body_color == "pink" else (0.7, 0.7, 0.7)
+        color_dir = osp.join(args.recording_dir, "Color")
+        n_saved = 0
+        for i, fn in enumerate(frames):
+            img_path = None
+            for ext in (".jpg", ".png"):
+                cand = osp.join(color_dir, fn + ext)
+                if osp.exists(cand):
+                    img_path = cand
+                    break
+            if img_path is None:
+                continue
+            img = cv2.imread(img_path)[:, :, ::-1]
+            if args.flip:
+                img = img[:, ::-1]
+            over = render_body_overlay(verts[i], np.asarray(model.faces),
+                                       img, args.fx, args.fy,
+                                       args.cx, args.cy, color=color)
+            out_path = osp.join(out_dir, fn + "_output.png")
+            cv2.imwrite(out_path, over[:, :, ::-1])
+            n_saved += 1
+        print(f"saved {n_saved} overlay renders to {out_dir}")
 
 
 if __name__ == "__main__":

@@ -123,6 +123,16 @@ class AmassRepresentationBuilder:
             with_hand=with_hand, markerset_json=markerset_json,
             num_verts=any_model.num_verts))
         self.with_hand = with_hand
+        # per-mode jitted representation transforms: the Holden pipeline
+        # is dozens of tiny ops — eager per-clip execution costs one
+        # device round-trip EACH (minutes per corpus through a tunneled
+        # TPU); jitted it is one dispatch per clip
+        self._jit_cache: dict = {}
+
+    def _jitted(self, key, fn):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
 
     def markers_and_joints(self, clip: Clip, T: int):
         """Run the body model over one clip; returns (markers [T, M, 3],
@@ -145,71 +155,87 @@ class AmassRepresentationBuilder:
         """[T, M*3] frame-0-normalized global marker image
         (mode='global_markers', train_loader_smooth.py:164-167)."""
         markers, joints = self.markers_and_joints(clip, T)
-        return rep.global_marker_image(markers, joints[0, :25])
+        return self._jitted("gm", lambda m, j: rep.global_marker_image(
+            m, j[0, :25]))(markers, joints)
 
     def local_markers_4chan(self, clip: Clip, T: int,
                             smooth_forward: bool = True):
         """([4, T-1, d], rot_0_pivot) infill representation
         (mode='local_markers_4chan', train_loader_infill.py:125-275)."""
         markers, joints = self.markers_and_joints(clip, T)
-        joints_n = rep.normalize_to_frame0(joints[:, :25], joints[0, :25])
-        markers_n = rep.normalize_to_frame0(markers, joints[0, :25])
-        contact = rep.contact_labels_from_markers(markers_n)
-        pm = jnp.concatenate([joints_n[:, 0:1], markers_n], axis=1)
-        return rep.local_markers_4chan(pm, contact,
-                                       smooth_forward=smooth_forward)
+
+        def xform(m, j):
+            joints_n = rep.normalize_to_frame0(j[:, :25], j[0, :25])
+            markers_n = rep.normalize_to_frame0(m, j[0, :25])
+            contact = rep.contact_labels_from_markers(markers_n)
+            pm = jnp.concatenate([joints_n[:, 0:1], markers_n], axis=1)
+            return rep.local_markers_4chan(pm, contact,
+                                           smooth_forward=smooth_forward)
+
+        return self._jitted(("lm4", smooth_forward), xform)(markers, joints)
 
     def local_markers(self, clip: Clip, T: int, smooth_forward: bool = True):
         """([T-1, 3+(1+67)*3+4], pivot) single-channel infill mode
         (mode='local_markers', train_loader_infill.py:261-264)."""
         markers, joints = self.markers_and_joints(clip, T)
-        joints_n = rep.normalize_to_frame0(joints[:, :25], joints[0, :25])
-        markers_n = rep.normalize_to_frame0(markers, joints[0, :25])
-        contact = rep.contact_labels_from_markers(markers_n)
-        pm = jnp.concatenate([joints_n[:, 0:1], markers_n], axis=1)
-        return rep.local_markers_flat(pm, contact,
-                                      smooth_forward=smooth_forward)
+
+        def xform(m, j):
+            joints_n = rep.normalize_to_frame0(j[:, :25], j[0, :25])
+            markers_n = rep.normalize_to_frame0(m, j[0, :25])
+            contact = rep.contact_labels_from_markers(markers_n)
+            pm = jnp.concatenate([joints_n[:, 0:1], markers_n], axis=1)
+            return rep.local_markers_flat(pm, contact,
+                                          smooth_forward=smooth_forward)
+
+        return self._jitted(("lmf", smooth_forward), xform)(markers, joints)
 
     def local_joints_4chan(self, clip: Clip, T: int,
                            smooth_forward: bool = True):
         """Joint-based 4-channel variant (mode='local_joints_4chan',
         train_loader_infill.py:149-173 contact labels from foot joints).
 
-        Note: uses the joint-slot layout (sdr/hip at joints 16/17/1/2),
-        approximated here by reusing the marker-slot Holden transform on
-        the 25 body joints prepended with the pelvis; the 4-channel
-        packing and contact-label semantics match."""
-        markers, joints = self.markers_and_joints(clip, T)
-        joints_n = rep.normalize_to_frame0(joints[:, :25], joints[0, :25])
-        # foot joints 7/8 (ankles), 10/11 (feet): velocity+height criteria
-        feet = joints_n[:, jnp.asarray([7, 8, 10, 11]), :]
-        vel = jnp.linalg.norm((feet[1:] - feet[:-1]) * 30.0, axis=-1)
-        vel_c = jnp.concatenate(
-            [(jnp.abs(vel) < 0.22).astype(jnp.float32),
-             jnp.zeros((1, 4))], axis=0)
-        z_thr = joints_n[:, :, -1].min() + 0.10
-        h_c = (feet[:, :, 2] < z_thr).astype(jnp.float32)
-        contact = (vel_c * h_c).at[-1].set(h_c[-1])
-        # joints already carry the pelvis at row 0; shoulder/hip direction
-        # rows are the joint indices themselves
-        return rep.local_markers_4chan(
-            joints_n, contact, smooth_forward=smooth_forward,
-            direction_slots=(16, 17, 1, 2))
+        Exact parity with the reference's joint path: the joint-slot
+        layout (sdr/hip at joints 16/17/1/2, final row = joint_id + 1
+        after the reference row, train_loader_infill.py:234-235), foot
+        joints 7/8/10/11 for contact, and the shared Holden transform —
+        pinned against the numpy oracle in
+        tests/test_parity_oracle.py::test_joint_mode_matches_oracle."""
+        _, joints = self.markers_and_joints(clip, T)
+
+        def xform(j):
+            joints_n = rep.normalize_to_frame0(j[:, :25], j[0, :25])
+            # foot joints 7/8 (ankles), 10/11 (feet): velocity + height
+            feet = joints_n[:, jnp.asarray([7, 8, 10, 11]), :]
+            vel = jnp.linalg.norm((feet[1:] - feet[:-1]) * 30.0, axis=-1)
+            vel_c = jnp.concatenate(
+                [(jnp.abs(vel) < 0.22).astype(jnp.float32),
+                 jnp.zeros((1, 4))], axis=0)
+            z_thr = joints_n[:, :, -1].min() + 0.10
+            h_c = (feet[:, :, 2] < z_thr).astype(jnp.float32)
+            contact = (vel_c * h_c).at[-1].set(h_c[-1])
+            # joints already carry the pelvis at row 0; shoulder/hip
+            # direction rows are the joint indices themselves
+            return rep.local_markers_4chan(
+                joints_n, contact, smooth_forward=smooth_forward,
+                direction_slots=(16, 17, 1, 2))
+
+        return self._jitted(("lj4", smooth_forward), xform)(joints)
 
     def global_joints(self, clip: Clip, T: int, with_hand: bool = False):
         """[T, 25*3 or 55*3] (mode='global_joints',
         train_loader_smooth.py:148-156)."""
         _, joints = self.markers_and_joints(clip, T)
         k = 55 if with_hand else 25
-        j = rep.normalize_to_frame0(joints[:, :k], joints[0, :25])
-        return j.reshape(j.shape[0], -1)
+        return self._jitted(("gj", k), lambda jj: rep.normalize_to_frame0(
+            jj[:, :k], jj[0, :25]).reshape(jj.shape[0], -1))(joints)
 
     def local_joints(self, clip: Clip, T: int, with_hand: bool = False):
         """[T, 25*3 or 55*3] pelvis-relative (mode='local_joints',
         train_loader_smooth.py:158-162)."""
         _, joints = self.markers_and_joints(clip, T)
         k = 55 if with_hand else 25
-        return rep.local_joint_image(joints[:, :k], joints[0, :25])
+        return self._jitted(("lj", k), lambda jj: rep.local_joint_image(
+            jj[:, :k], jj[0, :25]))(joints)
 
 
 def build_dataset(

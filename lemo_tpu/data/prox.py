@@ -126,30 +126,47 @@ def write_ply_vertices(path: str, verts: np.ndarray,
                 fh.write("3 " + " ".join(str(i) for i in f) + "\n")
 
 
-def read_keypoints(path: str, use_hands: bool = True, use_face: bool = True,
-                   use_face_contour: bool = False) -> np.ndarray | None:
-    """OpenPose json -> [118, 3] (25 body + 2x21 hands + 51 face) keypoints
-    of the first detected person (data_parser_slide.py:54-102)."""
+def read_keypoints_all(path: str, use_hands: bool = True,
+                       use_face: bool = True,
+                       use_face_contour: bool = False
+                       ) -> tuple[list[np.ndarray], list]:
+    """OpenPose json -> ([P] list of [118, 3] keypoint arrays — one per
+    detected person — and the per-person `gender_pd` predictions when
+    present). 25 body + 2x21 hands + 51 face rows per person
+    (data_parser_slide.py:54-102)."""
     with open(path) as fh:
         data = json.load(fh)
-    if not data.get("people"):
-        return None
-    person = data["people"][0]
-    parts = [np.asarray(person["pose_keypoints_2d"],
-                        np.float32).reshape(-1, 3)]
-    if use_hands:
-        parts.append(np.asarray(person["hand_left_keypoints_2d"],
-                                np.float32).reshape(-1, 3))
-        parts.append(np.asarray(person["hand_right_keypoints_2d"],
-                                np.float32).reshape(-1, 3))
-    if use_face:
-        face = np.asarray(person["face_keypoints_2d"],
-                          np.float32).reshape(-1, 3)[17:17 + 51]
-        parts.append(face)
-        if use_face_contour:
-            parts.append(np.asarray(person["face_keypoints_2d"],
-                                    np.float32).reshape(-1, 3)[:17])
-    return np.concatenate(parts, axis=0)
+    people, gender_pd = [], []
+    for person in data.get("people", []):
+        parts = [np.asarray(person["pose_keypoints_2d"],
+                            np.float32).reshape(-1, 3)]
+        if use_hands:
+            parts.append(np.asarray(person["hand_left_keypoints_2d"],
+                                    np.float32).reshape(-1, 3))
+            parts.append(np.asarray(person["hand_right_keypoints_2d"],
+                                    np.float32).reshape(-1, 3))
+        if use_face:
+            face = np.asarray(person["face_keypoints_2d"],
+                              np.float32).reshape(-1, 3)[17:17 + 51]
+            parts.append(face)
+            if use_face_contour:
+                parts.append(np.asarray(person["face_keypoints_2d"],
+                                        np.float32).reshape(-1, 3)[:17])
+        people.append(np.concatenate(parts, axis=0))
+        if "gender_pd" in person:
+            gender_pd.append(person["gender_pd"])
+    return people, gender_pd
+
+
+def read_keypoints(path: str, use_hands: bool = True, use_face: bool = True,
+                   use_face_contour: bool = False,
+                   person_id: int = 0) -> np.ndarray | None:
+    """Keypoints of one detected person (the reference also fits person 0:
+    data_parser_slide.py:280 takes keypoints[0]). None when no detection
+    (or fewer than person_id+1 people)."""
+    people, _ = read_keypoints_all(path, use_hands, use_face,
+                                   use_face_contour)
+    return people[person_id] if len(people) > person_id else None
 
 
 def read_prox_pkl(path: str) -> dict[str, np.ndarray]:
@@ -326,6 +343,13 @@ class ProxWindowDataset:
         keyp = read_keypoints(
             osp.join(self.rec.keyp_folder, fn + "_keypoints.json"),
             self.use_hands, self.use_face)
+        if keyp is None:
+            # no detection this frame (occlusion / person out of view):
+            # zero-confidence keypoints make the 2-D data term vanish for
+            # the frame while the temporal priors keep constraining it —
+            # the fixed-shape equivalent of the reference skipping the
+            # frame. LEMO's occluded-frame robustness rides on this.
+            keyp = np.zeros((len(self.joint_weights()), 3), np.float32)
         scan = np.zeros((SCAN_MAX_POINTS, 3), np.float32)
         n_pts = 0
         if self.read_depth and self.read_mask:

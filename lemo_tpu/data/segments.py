@@ -34,10 +34,14 @@ def _load() -> dict[str, np.ndarray]:
 
 def segment_vertex_ids(part: str, num_verts: int | None = None) -> np.ndarray:
     """Vertex ids of a named body segment. For reduced synthetic meshes,
-    ids are folded with modulo (distinct-preserving, like markers)."""
+    ids are rescaled proportionally into [0, num_verts) and deduplicated —
+    preserving each segment's FRACTION of the mesh. (A plain modulo fold
+    saturates small meshes: ~1k head ids mod 400 cover every vertex, and
+    the depth term's body mask collapses to empty.)"""
     ids = _load()[part]
     if num_verts is not None and ids.max() >= num_verts:
-        ids = ids % num_verts
+        ids = np.unique(ids.astype(np.int64) * num_verts // 10475)
+        ids = np.minimum(ids, num_verts - 1)
     return ids
 
 

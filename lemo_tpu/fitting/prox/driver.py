@@ -108,8 +108,25 @@ def load_assets(cfg: ProxConfig) -> ProxAssets:
             "preprocess_stats",
             "preprocess_stats_smooth_withHand_global_markers.npz"))
     infill_ae = infill_stats = None
-    if cfg.use_motion_infill_prior and cfg.AE_infill_path:
-        infill_ae = load_torch_state_dict(cfg.AE_infill_path)
+    if cfg.use_motion_infill_prior:
+        from lemo_tpu.priors.conv_ae import load_state_dict_npz
+
+        if cfg.AE_infill_path:
+            infill_ae = (load_torch_state_dict(cfg.AE_infill_path)
+                         if cfg.AE_infill_path.endswith((".pkl", ".pt"))
+                         else load_state_dict_npz(cfg.AE_infill_path))
+        else:
+            # the reference's pretrained blob is missing from its
+            # distribution; fall back to the shipped synthetic-corpus
+            # retrain (scripts/train_infill_asset.py) so the S3 config
+            # runs with no extra assets
+            asset_dir = osp.join(osp.dirname(osp.dirname(
+                osp.dirname(osp.abspath(__file__)))), "assets")
+            ae_path = osp.join(asset_dir, "infill_ae.npz")
+            if osp.exists(ae_path):
+                infill_ae = load_state_dict_npz(ae_path)
+                infill_stats = Local4ChanStats.load(
+                    osp.join(asset_dir, "infill_stats.npz"))
     faces_segm = ign_table = None
     if cfg.interpenetration and cfg.part_segm_fn:
         faces_segm, ign_table = load_part_segm(
@@ -238,6 +255,8 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
         marker_mask=jnp.asarray(window_data["marker_mask"]),
         infill_marker_ids=jnp.asarray(mk.marker_indices(False, num_verts=V)),
         faces=jnp.asarray(model.faces) if cfg.interpenetration else None,
+        faces_vis=(jnp.asarray(model.faces)
+                   if (cfg.s2m or cfg.m2s) else None),
         faces_segm=(jnp.asarray(assets.faces_segm)
                     if cfg.interpenetration and assets.faces_segm is not None
                     else None),

@@ -127,6 +127,10 @@ class ProxStatic:
     faces: Any = None               # [F, 3]
     faces_segm: Any = None
     ign_table: Any = None
+    # depth-term visibility: body topology for per-frame vertex normals
+    # (backface culling — the cheap exact self-occlusion test; see
+    # ops.visibility.visibility_zbuffer)
+    faces_vis: Any = None           # [F, 3]
     image_size: tuple = (1920, 1080)
 
 
@@ -137,7 +141,7 @@ _STATIC_ARRAY_FIELDS = [
     "contact_verts_ids", "fric_verts_ids", "foot_ids", "smooth_enc_params",
     "smooth_stats", "smooth_marker_ids", "infill_targets",
     "infill_contact_lbl", "marker_mask", "infill_marker_ids",
-    "sdf_candidate_ids", "faces", "faces_segm", "ign_table",
+    "sdf_candidate_ids", "faces", "faces_segm", "ign_table", "faces_vis",
 ]
 _STATIC_AUX_FIELDS = ["camera", "image_size"]
 
@@ -185,14 +189,21 @@ def keypoint_loss(proj: jnp.ndarray, st: ProxStatic, w_data: float):
 
 def depth_terms(verts_cam, st: ProxStatic, w: ProxWeights):
     """s2m / m2s Chamfer with per-frame z-buffer visibility
-    (fitting_temp_slide.py:637-670)."""
+    (fitting_temp_slide.py:637-670). When the body topology is available
+    (st.faces_vis), per-frame vertex normals add exact backface culling to
+    the z-buffer tests."""
+    from lemo_tpu.ops.visibility import vertex_normals
+
     cam = st.camera
 
     def per_frame(v, scan, scan_m):
+        v_sg = jax.lax.stop_gradient(v)
+        normals = (vertex_normals(v_sg, st.faces_vis)
+                   if st.faces_vis is not None else None)
         vis = visibility_zbuffer(
-            jax.lax.stop_gradient(v), cam.focal_length_x, cam.focal_length_y,
+            v_sg, cam.focal_length_x, cam.focal_length_y,
             cam.center[0], cam.center[1],
-            st.image_size[0], st.image_size[1])
+            st.image_size[0], st.image_size[1], normals=normals)
         s2m = 0.0
         m2s = 0.0
         if w.s2m > 0:

@@ -25,8 +25,25 @@ def visibility_zbuffer(
     width: int = 1920, height: int = 1080,
     res: int = 256,
     eps: float = 0.02,
+    normals: jnp.ndarray | None = None,   # [V, 3] optional, for backface
+    eps_far: float = 0.1,
 ) -> jnp.ndarray:
-    """Boolean [V] visibility from the camera at the origin."""
+    """Boolean [V] visibility from the camera at the origin.
+
+    Three tests, calibrated against an exact ray-cast oracle
+    (tests/test_visibility_oracle.py):
+
+    1. own-cell z-test (tight ``eps``): rejects same-surface occlusion
+       where splat density is high;
+    2. dilated 3x3 z-test (loose ``eps_far``): vertex splats alone leave
+       empty cells wherever the projected density drops below one per
+       cell, and SEPARATED geometry behind those gaps is falsely visible
+       (measured 18% on a sphere-behind-sphere oracle; <2% with the
+       dilation). The loose threshold keeps curvature within a cell from
+       hiding true surface points;
+    3. backface cull when ``normals`` are given — the cheap exact test
+       for self-occlusion on closed surfaces.
+    """
     z = verts[:, 2]
     valid = z > 1e-4
     zs = jnp.where(valid, z, 1.0)
@@ -38,9 +55,18 @@ def visibility_zbuffer(
 
     idx = py * res + px
     big = jnp.full((res * res,), jnp.inf, verts.dtype)
-    zbuf = big.at[jnp.where(in_img, idx, 0)].min(
-        jnp.where(in_img, z, jnp.inf))
-    front = z <= zbuf[idx] + eps
+    zput = jnp.where(in_img, z, jnp.inf)
+    zbuf_own = big.at[jnp.where(in_img, idx, 0)].min(zput)
+    zbuf_dil = zbuf_own
+    for dy, dx in ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                   (0, 1), (1, -1), (1, 0), (1, 1)):
+        nx = jnp.clip(px + dx, 0, res - 1)
+        ny = jnp.clip(py + dy, 0, res - 1)
+        zbuf_dil = zbuf_dil.at[jnp.where(in_img, ny * res + nx, 0)].min(
+            zput)
+    front = (z <= zbuf_own[idx] + eps) & (z <= zbuf_dil[idx] + eps_far)
+    if normals is not None:
+        front = front & ((normals * (-verts)).sum(-1) > 0.0)
     return jnp.logical_and(in_img, front)
 
 

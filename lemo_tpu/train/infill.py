@@ -40,18 +40,19 @@ def random_marker_mask(key, batch_size: int, d: int, T: int,
                        mode: str = "local_markers_4chan"):
     """Random 1-6 markers zeroed per sample (train_infill_prior.py:147-168).
 
-    For jit friendliness the count is fixed at 6 with repeats allowed (a
-    sample masking the same marker twice masks fewer — matching the
-    reference's random.randint spread in expectation).
+    Exact distribution match with the reference's
+    ``random.sample(range(67), random.randint(1, 6))``: top-6 indices of
+    iid uniform scores are a uniformly-random DISTINCT 6-subset in random
+    order, and activating the first n (n ~ uniform{1..6}) of a random
+    ordering yields a uniform n-subset — all inside jit.
     """
     offset = 3 if mode == "local_markers_4chan" else 6
     k1, k2 = jax.random.split(key)
     n_mask = 6
-    marker_ids = jax.random.randint(k1, (batch_size, n_mask), 0, 67)
-    keep_prob = jax.random.uniform(k2, (batch_size, n_mask))
-    # emulate randint(1, 6): drop each masked marker with prob so the
-    # expected count matches ~3.5
-    active = keep_prob < 0.6
+    scores = jax.random.uniform(k1, (batch_size, 67))
+    _, marker_ids = jax.lax.top_k(scores, n_mask)      # [B, 6] distinct
+    n = jax.random.randint(k2, (batch_size, 1), 1, n_mask + 1)  # 1..6
+    active = jnp.arange(n_mask)[None, :] < n           # first n active
     rows = marker_ids * 3 + offset  # [B, n_mask]
 
     # row r is zeroed when any active masked marker covers it
@@ -136,6 +137,28 @@ def make_train_step(cfg: InfillTrainConfig):
         _, m = loss_fn(params, clip_img, mask)
         return m
 
+    @jax.jit
+    def train_step_indexed(params, opt_state, images_dev, idx, key):
+        """Device-resident variant: the whole corpus lives on device
+        ([N, 4, d, T]); per step only [B] indices and a PRNG key cross
+        the host boundary, and the random mask is built inside the jit.
+        One dispatch per step, no per-step host batch uploads (those
+        leaked host memory and dominated wall time through the tunneled
+        TPU runtime)."""
+        batch = images_dev[idx]                         # [B, 4, d, T]
+        mask = random_marker_mask(key, idx.shape[0],
+                                  batch.shape[2], batch.shape[3])
+        return train_step_inner(params, opt_state, batch, mask)
+
+    def train_step_inner(params, opt_state, clip_img, mask):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, clip_img, mask)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["total"] = loss
+        return params, opt_state, metrics
+
+    train_step.indexed = train_step_indexed
     return train_step, eval_step, opt
 
 
@@ -162,22 +185,32 @@ def train(images_train: np.ndarray, cfg: InfillTrainConfig, num_steps: int,
     opt_state = opt.init(params)
     key = jax.random.PRNGKey(seed + 1)
 
+    # whole corpus resident on device in the training layout: per step
+    # only indices + a key cross the host boundary (random-mask phase)
+    images_dev = jnp.asarray(images_train.swapaxes(2, 3))
+
     spe = steps_per_epoch or max(len(images_train) // cfg.batch_size, 1)
     history = []
     step = 0
     while step < num_steps:
-        for batch in batches(images_train, cfg.batch_size, rng):
+        idx_order = rng.permutation(len(images_train))
+        for start in range(0, len(images_train) - cfg.batch_size + 1,
+                           cfg.batch_size):
+            idx_np = idx_order[start:start + cfg.batch_size]
             epoch = step // spe
-            B, _, d, T = batch.shape
             key, sub = jax.random.split(key)
             if epoch <= cfg.random_mask_epochs or prox_masks is None:
-                mask = random_marker_mask(sub, B, d, T)
+                params, opt_state, metrics = train_step.indexed(
+                    params, opt_state, images_dev, jnp.asarray(idx_np),
+                    sub)
             else:
-                pick = rng.randint(0, len(prox_masks), B)
+                batch = images_dev[jnp.asarray(idx_np)]
+                d, T = batch.shape[2], batch.shape[3]
+                pick = rng.randint(0, len(prox_masks), cfg.batch_size)
                 mask = jnp.asarray(
                     prox_mask_to_image_mask(prox_masks[pick], d, T))
-            params, opt_state, metrics = train_step(params, opt_state,
-                                                    batch, mask)
+                params, opt_state, metrics = train_step(params, opt_state,
+                                                        batch, mask)
             step += 1
             if step % log_every == 0 or step == num_steps:
                 rec = {k: float(v) for k, v in metrics.items()}

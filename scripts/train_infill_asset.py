@@ -46,7 +46,21 @@ def main(argv=None):
     ap.add_argument("--amass_dir", default=None,
                     help="real AMASS root; synthetic corpus if omitted")
     ap.add_argument("--out_dir", default=ASSETS)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) — useful when "
+                         "the TPU tunnel is busy/draining")
+    ap.add_argument("--images_cache", default=None,
+                    help="npz path for the prepared corpus: written after "
+                         "prep, reused when present — lets prep run on "
+                         "CPU and training on TPU in separate processes")
+    ap.add_argument("--prep_only", action="store_true",
+                    help="stop after writing --images_cache")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import jax.numpy as jnp
 
@@ -58,26 +72,45 @@ def main(argv=None):
                                             write_smplx_model_dir)
 
     t0 = time.time()
-    if args.amass_dir:
-        amass_dir, datasets = args.amass_dir, amass.AMASS_TRAIN_DATASETS
-        model_dir = args.amass_dir  # caller supplies a real model path too
+    if args.images_cache and osp.exists(args.images_cache):
+        z = np.load(args.images_cache)
+        images, n_clips = z["images"], int(z["n_clips"])
+        print(f"[INFO] loaded cached corpus {images.shape} "
+              f"({n_clips} clips)", flush=True)
     else:
-        tmp = tempfile.mkdtemp()
-        amass_dir = osp.join(tmp, "amass")
-        for k in range(6):
-            write_amass_dataset(amass_dir, dataset_name=f"Synth{k:02d}",
-                                num_subjects=2, seqs_per_subject=3,
-                                num_frames=3600, fps=60,
-                                seed=args.seed + 997 * k)
-        datasets = [f"Synth{k:02d}" for k in range(6)]
-        model_dir = write_smplx_model_dir(osp.join(tmp, "models"))
+        if args.amass_dir:
+            amass_dir = args.amass_dir
+            datasets = amass.AMASS_TRAIN_DATASETS
+            model_dir = args.amass_dir  # caller supplies a real model too
+        else:
+            tmp = tempfile.mkdtemp()
+            amass_dir = osp.join(tmp, "amass")
+            for k in range(6):
+                write_amass_dataset(amass_dir,
+                                    dataset_name=f"Synth{k:02d}",
+                                    num_subjects=2, seqs_per_subject=3,
+                                    num_frames=3600, fps=60,
+                                    seed=args.seed + 997 * k)
+            datasets = [f"Synth{k:02d}" for k in range(6)]
+            model_dir = write_smplx_model_dir(osp.join(tmp, "models"))
 
-    builder = amass.AmassRepresentationBuilder(model_dir, with_hand=False)
-    clips = amass.scan_amass(datasets, amass_dir, clip_seconds=4)
-    print(f"[INFO] {len(clips)} clips")
-    images, _ = amass.build_dataset(builder, clips, "local_markers_4chan",
-                                    clip_seconds=4)
-    stats = Local4ChanStats.compute(np.asarray(images))
+        builder = amass.AmassRepresentationBuilder(model_dir,
+                                                   with_hand=False)
+        clips = amass.scan_amass(datasets, amass_dir, clip_seconds=4)
+        print(f"[INFO] {len(clips)} clips", flush=True)
+        images, _ = amass.build_dataset(builder, clips,
+                                        "local_markers_4chan",
+                                        clip_seconds=4)
+        images = np.asarray(images)
+        n_clips = len(clips)
+        if args.images_cache:
+            np.savez_compressed(args.images_cache, images=images,
+                                n_clips=n_clips)
+            print(f"[INFO] corpus cached -> {args.images_cache}",
+                  flush=True)
+    if args.prep_only:
+        return 0
+    stats = Local4ChanStats.compute(images)
     images_n = np.asarray(stats.normalize(jnp.asarray(images)))
 
     cfg = ti.InfillTrainConfig(lr=args.lr, batch_size=args.batch_size)
@@ -97,7 +130,7 @@ def main(argv=None):
                                           cfg.weight_loss_rec_contact_lbl],
                               "corpus": ("synthetic" if not args.amass_dir
                                          else args.amass_dir),
-                              "clips": len(clips)},
+                              "clips": n_clips},
                    "history": history}, fh, indent=1)
     print(f"[DONE] {args.num_steps} steps in {time.time() - t0:.0f}s; "
           f"first/last logged loss "

@@ -83,6 +83,25 @@ class TestHoldenTransformParity:
         out_n = reconstruct_global_body_np(stacked, rot0)
         np.testing.assert_allclose(out_j, out_n, atol=2e-4)
 
+    def test_joint_mode_matches_oracle(self):
+        """local_joints_4chan variant: [T, 25, 3] joints (pelvis row 0),
+        shoulder/hip direction at joint rows 16/17/1/2 — the reference's
+        joint-slot layout (train_loader_infill.py:234-235: final index =
+        joint_id + 1 after the reference row). Same transform, exact."""
+        body = _smooth_trajectory(N=25, seed=21)
+        lbl = _contact_lbls()
+        img_j, rot0_j = local_markers_4chan(
+            jnp.asarray(body), jnp.asarray(lbl), smooth_forward=True,
+            direction_slots=(16, 17, 1, 2))
+        # oracle applies slots+2 (ref + pelvis rows); joints carry their
+        # own pelvis, so compensate: slots-1 -> final row joint_id + 1
+        img_n, rot0_n = get_local_markers_4chan_np(
+            body, lbl, smooth_forward=True, slots=(15, 16, 0, 1))
+        assert img_j.shape == (4, 118, 25 * 3 + 4)
+        np.testing.assert_allclose(np.asarray(img_j), img_n,
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(float(rot0_j), rot0_n, atol=1e-5)
+
     def test_roundtrip_recovers_world_shape(self):
         """Oracle decompose -> oracle reconstruct returns the body up to
         the (unobservable) initial planar offset: xy-velocities integrate

@@ -64,3 +64,52 @@ def test_s3_pipeline_with_infill_prior():
     assert th is not None and "motion_infill_loss" in th
     assert np.isfinite(th["motion_infill_loss"]).all()
     assert float(np.abs(th["motion_infill_loss"]).sum()) > 0
+
+
+ASSET_AE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "lemo_tpu", "assets", "infill_ae.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(ASSET_AE),
+                    reason="shipped infill asset absent")
+def test_s3_runs_from_config_with_shipped_asset():
+    """S3 with NO extra assets: AE_infill_path empty -> load_assets falls
+    back to the shipped retrained AE + stats (VERDICT r1 item 6 — the
+    reference's pretrained blob is missing from its distribution)."""
+    import dataclasses
+
+    from lemo_tpu.fitting.prox.driver import load_assets
+    from lemo_tpu.testing.synthetic import write_smplx_model_dir
+
+    base = tempfile.mkdtemp()
+    info = write_synthetic_prox_recording(base, num_frames=18, seed=5,
+                                          occlusion_frac=0.3)
+    model_dir = write_smplx_model_dir(tempfile.mkdtemp())
+
+    cfg = ProxConfig(
+        recording_dir=info["recording_dir"],
+        output_folder=tempfile.mkdtemp(),
+        model_folder=model_dir, gender="male",
+        batch_size=16, maxiters=4, lr=0.005, flip=False,
+        s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=False, use_friction=False,
+        use_motion_smooth_prior=False,
+        use_motion_infill_prior=True, AE_infill_path="",
+        motion_infill_rec_weights=[2.0],
+        motion_infill_contact_weights=[0.1],
+        interpenetration=False, contact=False,
+    )
+    assets = load_assets(cfg)
+    assert assets.infill_ae_params is not None, "shipped AE not loaded"
+    assert assets.infill_stats is not None
+    # the recording was generated with its own synthetic body + vposer;
+    # inject those (load_assets loaded the on-disk model instead)
+    assets = dataclasses.replace(
+        assets,
+        model=load_model(info["model_dict"], use_pca=True,
+                         num_pca_comps=12),
+        vposer_params=info["vposer_params"])
+    results = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)
+    th = results[0].term_history
+    assert np.isfinite(results[0].final_loss)
+    assert float(np.abs(th["motion_infill_loss"]).sum()) > 0

@@ -256,6 +256,94 @@ class TestSceneContactFromConfig:
         np.testing.assert_allclose(read_ply_vertices(pb), verts, atol=1e-5)
 
 
+class TestMissingDetections:
+    def test_empty_people_frame_gets_zero_confidence(self, prox_base):
+        """A frame whose OpenPose json has no detections loads as
+        zero-confidence keypoints (the 2-D term vanishes for it; temporal
+        priors keep constraining it) instead of crashing — LEMO's
+        occluded-frame story (data_parser_slide.py:277-280 analog)."""
+        import json as _json
+        import shutil
+
+        base, info = prox_base
+        # clone the keypoint dir with frame 2 emptied
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        kdir = tempfile.mkdtemp()
+        shutil.copytree(rec.keyp_folder, kdir, dirs_exist_ok=True)
+        victim = sorted(os.listdir(kdir))[2]
+        with open(os.path.join(kdir, victim), "w") as fh:
+            _json.dump({"version": 1.3, "people": []}, fh)
+        rec.keyp_folder = kdir
+
+        ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                               batch_size=8, flip=False, read_depth=False,
+                               read_mask=False)
+        wd = ds.load_window(0)
+        assert wd["keypoints"].shape[0] == 8
+        np.testing.assert_array_equal(wd["keypoints"][2], 0.0)
+        assert (wd["keypoints"][1, :, 2] > 0).any()  # neighbors intact
+
+    def test_multi_person_json_keeps_all_people(self, prox_base):
+        """read_keypoints_all returns every detected person + gender_pd
+        (reference Keypoints tuple, data_parser_slide.py:42-101); the
+        dataset fits person 0 like the reference."""
+        import json as _json
+
+        from lemo_tpu.data.prox import read_keypoints, read_keypoints_all
+
+        base, info = prox_base
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        src = os.path.join(rec.keyp_folder,
+                           sorted(os.listdir(rec.keyp_folder))[0])
+        with open(src) as fh:
+            data = _json.load(fh)
+        p2 = dict(data["people"][0])
+        p2["gender_pd"] = "female"
+        data["people"][0]["gender_pd"] = "male"
+        data["people"].append(p2)
+        two = os.path.join(tempfile.mkdtemp(), "two_keypoints.json")
+        with open(two, "w") as fh:
+            _json.dump(data, fh)
+
+        people, gender_pd = read_keypoints_all(two)
+        assert len(people) == 2 and people[0].shape == (118, 3)
+        assert gender_pd == ["male", "female"]
+        np.testing.assert_array_equal(read_keypoints(two), people[0])
+        np.testing.assert_array_equal(read_keypoints(two, person_id=1),
+                                      people[1])
+
+
+class TestDepthTermPipeline:
+    def test_s2m_m2s_end_to_end(self, prox_base):
+        """Depth (s2m/m2s) term through the full pipeline: Kinect depth ->
+        scan clouds -> per-frame z-buffer visibility (with body-topology
+        backface culling) -> bidirectional Chamfer
+        (fitting_temp_slide.py:637-670). The synthetic recording rasterizes
+        the true body into its Depth frames, so both terms are live and
+        finite."""
+        base, info = prox_base
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        cfg = ProxConfig(
+            recording_dir=info["recording_dir"],
+            output_folder=tempfile.mkdtemp(),
+            batch_size=16, maxiters=6, lr=0.005, flip=False,
+            s2m=True, m2s=True, read_depth=True, read_mask=True,
+            init_mode="none", sdf_penetration=False, use_friction=False,
+            use_motion_smooth_prior=False, interpenetration=False,
+            contact=False, use_motion_infill_prior=False,
+        )
+        assets = ProxAssets(model=model,
+                            vposer_params=info["vposer_params"])
+        res = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)[0]
+        assert np.isfinite(res.final_loss)
+        s2m = res.term_history["s2m_dist"]
+        m2s = res.term_history["m2s_dist"]
+        # scan points exist near the body -> both terms engage
+        assert np.isfinite(s2m).all() and np.isfinite(m2s).all()
+        assert (s2m > 0).all() and (m2s > 0).all()
+
+
 class TestLbfgslsWindow:
     def test_pipeline_with_lbfgsls(self, prox_base):
         """optim_type: lbfgsls end-to-end on a PROX window (the reference's

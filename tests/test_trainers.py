@@ -38,6 +38,24 @@ def test_infill_random_mask_shapes():
     assert (m[:, 3:204] == 0).any()
 
 
+def test_infill_random_mask_distribution():
+    """Masked-marker count must match the reference's
+    random.sample(range(67), random.randint(1, 6)): uniform over 1..6
+    DISTINCT markers (train_infill_prior.py:147-168)."""
+    m = np.asarray(ti.random_marker_mask(jax.random.PRNGKey(3),
+                                         3000, 208, 4))
+    # marker rows are [3:204] in groups of 3; count masked markers/sample
+    marker_rows = m[:, 3:204, 0].reshape(-1, 67, 3)
+    masked = (marker_rows == 0).all(-1)          # [B, 67]
+    counts = masked.sum(-1)
+    # distinct sampling: counts live exactly in {1..6}
+    assert counts.min() >= 1 and counts.max() <= 6
+    # uniform over 1..6 -> mean 3.5, each bucket ~1/6
+    assert abs(counts.mean() - 3.5) < 0.15
+    freq = np.bincount(counts, minlength=7)[1:7] / len(counts)
+    assert (np.abs(freq - 1 / 6) < 0.04).all(), freq
+
+
 def test_infill_prox_mask_conversion():
     prox = np.ones((2, 50, 201), np.float32)
     prox[0, :, 16 * 3:16 * 3 + 3] = 0  # left heel occluded
