@@ -31,6 +31,23 @@ import jax.numpy as jnp
 
 from lemo_tpu.ops.rotations import aa_to_matrot
 
+# Precision of the V-sized (heavy) matmuls: shape/pose blend, joint
+# regression, skinning, final vertex transform. Module-level so perf
+# experiments can A/B it in one process; the kinematic-chain accumulator
+# below always stays HIGHEST (it compounds ~12x per joint). Measured on
+# v5e (scripts/ab_precision_tpu.py, full-size model, f64 oracle):
+#   HIGHEST (exact f32, 6-pass): 4.8e-7 m max vertex err, 4.77 ms S2 step
+#   HIGH (3-pass bf16):          9.6e-5 m max vertex err, 4.64 ms S2 step
+# HIGHEST is the default: exact forward for ~3% step cost; HIGH stays
+# just inside the <=1e-4 m parity target if a deployment wants it.
+HEAVY_MATMUL_PRECISION = "highest"
+
+
+def _heavy():
+    return (jax.lax.Precision.HIGHEST
+            if HEAVY_MATMUL_PRECISION == "highest"
+            else jax.lax.Precision.HIGH)
+
 
 def blend_shapes(betas: jnp.ndarray, shape_dirs_flat: jnp.ndarray) -> jnp.ndarray:
     """betas [B, S] x shape_dirs_flat [S, V*3] -> [B, V, 3].
@@ -41,7 +58,7 @@ def blend_shapes(betas: jnp.ndarray, shape_dirs_flat: jnp.ndarray) -> jnp.ndarra
     """
     B = betas.shape[0]
     out = jnp.matmul(betas, shape_dirs_flat,
-                 precision=jax.lax.Precision.HIGHEST)  # [B, V*3]
+                     precision=_heavy())  # [B, V*3]
     return out.reshape(B, -1, 3)
 
 
@@ -49,7 +66,7 @@ def vertices2joints(J_regressor: jnp.ndarray, vertices: jnp.ndarray) -> jnp.ndar
     """J_regressor [J, V] x vertices [B, V, 3] -> joints [B, J, 3]
     (reference lbs.py:122-139)."""
     return jnp.einsum("bvk,jv->bjk", vertices, J_regressor,
-                  precision=jax.lax.Precision.HIGHEST)
+                      precision=_heavy())
 
 
 def _depth_levels(parents) -> list:
@@ -175,7 +192,7 @@ def lbs(
         pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # [B, 9(J-1)]
         pose_offsets = jnp.matmul(
             pose_feature, posedirs,
-            precision=jax.lax.Precision.HIGHEST).reshape(B, V, 3)
+            precision=_heavy()).reshape(B, V, 3)
         v_posed = v_shaped + pose_offsets
     else:
         v_posed = v_shaped
@@ -192,10 +209,9 @@ def lbs(
     # directions than the [B, V, J] broadcast form (measured on v5e)
     T = jnp.einsum("vj,bjk->bvk", lbs_weights,
                    A.reshape(B, num_joints, 12),
-                   precision=jax.lax.Precision.HIGHEST
-                   ).reshape(B, V, 3, 4)
+                   precision=_heavy()).reshape(B, V, 3, 4)
 
     verts = (jnp.einsum("bvmn,bvn->bvm", T[..., :3], v_posed,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_heavy())
              + T[..., 3])
     return verts, posed_joints

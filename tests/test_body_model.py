@@ -47,9 +47,12 @@ def numpy_smplx_forward(md, params, num_betas=10, num_expr=10,
         axis=1,
     )  # [B, 165]
 
+    # expression dirs live at column 300 in the production 400-dir layout
+    # (smplx SMPLX.__init__), at 10 in the compact synthetic layout
+    expr_begin = 300 if md["shapedirs"].shape[-1] > 300 else 10
     shapedirs = np.concatenate(
         [md["shapedirs"][:, :, :num_betas],
-         md["shapedirs"][:, :, 10:10 + num_expr]], axis=-1)
+         md["shapedirs"][:, :, expr_begin:expr_begin + num_expr]], axis=-1)
     shape_comp = np.concatenate([params["betas"], params["expression"]], axis=1)
 
     out_v = np.zeros((B, V, 3))
