@@ -81,7 +81,86 @@ def _depth_levels(parents) -> list:
             for d in range(1, int(depth.max()) + 1)]
 
 
-def rigid_transform_chain(
+# Kinematic-chain composition strategy. 'level' (default) runs one
+# compose per tree depth (~12 rounds for SMPL-X); 'doubling' runs
+# ceil(log2(max_depth+1)) = 4 pointer-doubling rounds. Both are exact
+# (HIGHEST selections/composes) and differ only in association order
+# (~1e-6 f32 noise). Measured in the production Stage-2 step
+# (scripts/ab_chain_tpu.py, v5e, interleaved): level 4.76 ms/step,
+# doubling 5.73 ms — the wider [J+1, J+1] ancestor selections cost more
+# than the 3x round reduction saves, so the chain is NOT round-count
+# bound at J=55. 'doubling' is kept for larger topologies where it
+# should cross over.
+CHAIN_IMPL = "level"
+
+
+def rigid_transform_chain(rot_mats, joints, parents):
+    """Dispatch to the configured chain implementation (see CHAIN_IMPL)."""
+    if CHAIN_IMPL == "doubling":
+        return rigid_transform_chain_doubling(rot_mats, joints, parents)
+    return rigid_transform_chain_level(rot_mats, joints, parents)
+
+
+def rigid_transform_chain_doubling(
+    rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pointer-doubling form of the kinematic chain.
+
+    Same contract as :func:`rigid_transform_chain_level`. Instead of one
+    compose per tree DEPTH (~12 sequential rounds for SMPL-X), round k
+    composes every joint's partial transform with that of its 2^k-th
+    ancestor, so after ceil(log2(max_depth+1)) = 4 rounds every joint
+    holds its full root-path product. Each round is a static one-hot
+    ancestor selection ([J+1, J+1] matmul) plus one batched 3x4 affine
+    compose over ALL joints — 4x the compose FLOPs of the level schedule
+    (trivial at [B, 55, 3, 3]) for 3x fewer sequential rounds, which is
+    what matters: the chain is dispatch-latency-bound, not FLOP-bound
+    (measured: a structure-of-arrays rewrite changed nothing, and the
+    level schedule's win over the serial 54-step walk tracked its round
+    count). Index 0 is a virtual identity node that absorbs ancestor
+    jumps past the root, so root-path products come out exact.
+    """
+    import numpy as _np
+
+    _hi = jax.lax.Precision.HIGHEST
+
+    B, J = joints.shape[0], joints.shape[1]
+    rel_joints = joints.at[:, 1:].add(-joints[:, parents[1:]])
+
+    # depth of each joint; rounds needed = ceil(log2(max_depth + 1))
+    depth = _np.zeros(J, _np.int64)
+    for i in range(1, J):
+        depth[i] = depth[int(parents[i])] + 1
+    rounds = max(1, int(_np.ceil(_np.log2(depth.max() + 1))))
+
+    # virtual identity node at slot 0; joint j lives at slot j+1
+    anc = _np.zeros(J + 1, _np.int64)
+    anc[1] = 0                                   # root -> identity
+    anc[2:] = _np.asarray(parents[1:], _np.int64) + 1
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=rot_mats.dtype), (B, 1, 3, 3))
+    R = jnp.concatenate([eye, rot_mats], axis=1)           # [B, J+1, 3, 3]
+    t = jnp.concatenate([jnp.zeros((B, 1, 3), rel_joints.dtype),
+                         rel_joints], axis=1)              # [B, J+1, 3]
+
+    for _ in range(rounds):
+        S = _np.zeros((J + 1, J + 1), _np.float32)
+        S[_np.arange(J + 1), anc] = 1.0
+        S = jnp.asarray(S, rot_mats.dtype)
+        R_anc = jnp.einsum("ap,bpmn->bamn", S, R, precision=_hi)
+        t_anc = jnp.einsum("ap,bpm->bam", S, t, precision=_hi)
+        R, t = (jnp.einsum("bamn,bank->bamk", R_anc, R, precision=_hi),
+                jnp.einsum("bamn,ban->bam", R_anc, t, precision=_hi) + t_anc)
+        anc = anc[anc]
+
+    Rg, tg = R[:, 1:], t[:, 1:]
+    posed_joints = tg
+    rel_t = tg - jnp.einsum("bjmn,bjn->bjm", Rg, joints, precision=_hi)
+    rel = jnp.concatenate([Rg, rel_t[..., None]], axis=-1)  # [B, J, 3, 4]
+    return posed_joints, rel
+
+
+def rigid_transform_chain_level(
     rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Compose per-joint local transforms along the kinematic tree.
@@ -199,19 +278,26 @@ def lbs(
 
     posed_joints, A = rigid_transform_chain(rot_mats, J, parents)
 
-    # skinning: T = W @ A  ([B, V, J] @ [B, J, 12]) — dominant matmul.
-    # A is affine [B, J, 3, 4]; blending affines is linear, so blending
-    # the 12 coefficients and applying once is identical math to the
-    # reference's homogeneous 4x4 path with 25% less matmul output traffic.
+    # skinning: T = W @ A — dominant matmul. A is affine [B, J, 3, 4];
+    # blending affines is linear, so blending the 12 coefficients and
+    # applying once is identical math to the reference's homogeneous 4x4
+    # path with 25% less matmul output traffic.
+    #
+    # Layout: the natural einsum 'vj,bjk->bvk' is a batched GEMM with
+    # N=12 — 12/128 MXU lanes busy, and it measured ~1.45 ms of a 3.7 ms
+    # Stage-2 step (fwd+bwd, B=100, v5e). Folding the batch into the
+    # lane dimension makes it ONE [V, J] @ [J, B*12] matmul (N=1200);
+    # the only extra data movement is transposing A ([B, J, 12] -> 264 KB
+    # at B=100, free) and v_posed once each way. The whole vertex
+    # transform runs V-major and transposes back at the end (12.6 MB,
+    # ~0.03 ms) — the [B, V, 12] blend matrix never materializes.
     num_joints = J_regressor.shape[0]
-    # einsum (not broadcast batched matmul): lbs_weights is shared across
-    # the batch, and XLA lowers the vj,bjk contraction ~15% faster both
-    # directions than the [B, V, J] broadcast form (measured on v5e)
-    T = jnp.einsum("vj,bjk->bvk", lbs_weights,
-                   A.reshape(B, num_joints, 12),
-                   precision=_heavy()).reshape(B, V, 3, 4)
-
-    verts = (jnp.einsum("bvmn,bvn->bvm", T[..., :3], v_posed,
-                        precision=_heavy())
-             + T[..., 3])
+    A_t = A.reshape(B, num_joints, 12).transpose(1, 0, 2)  # [J, B, 12]
+    T_vb = jnp.matmul(lbs_weights, A_t.reshape(num_joints, B * 12),
+                      precision=_heavy()).reshape(V, B, 3, 4)
+    v_posed_t = v_posed.transpose(1, 0, 2)                 # [V, B, 3]
+    verts_vb = (jnp.einsum("vbmn,vbn->vbm", T_vb[..., :3], v_posed_t,
+                           precision=_heavy())
+                + T_vb[..., 3])
+    verts = verts_vb.transpose(1, 0, 2)
     return verts, posed_joints

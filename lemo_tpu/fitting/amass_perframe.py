@@ -32,6 +32,7 @@ from lemo_tpu.data.stats import Local4ChanStats
 from lemo_tpu.fitting import params as P
 from lemo_tpu.fitting.adam import piecewise_lr, run_adam
 from lemo_tpu.ops.rotations import aa_to_rot6d, rot6d_to_aa
+from lemo_tpu.ops.select import onehot_rows, take_rows
 
 
 @dataclasses.dataclass
@@ -88,14 +89,15 @@ def _params72(opt_vars, shape10):
 def make_stage1_loss(model: SmplxModel, vposer_params, marker_ids,
                      weights: Stage1Weights):
     fwd = make_forward_fn(model)
-    marker_ids = jnp.asarray(marker_ids)
+    # static selection as a one-hot MXU matmul (exact; see ops/select.py)
+    sel = onehot_rows(marker_ids, model.consts["v_template"].shape[0])
 
     def loss_fn(opt_vars, shape10, markers_target):
         x72 = _params72(opt_vars, shape10)
         sp = P.smplx_params_from_72(x72, vposer_params,
                                     model.config.num_expressions)
         out = fwd(sp, model.consts)
-        markers = out["vertices"][:, marker_ids, :]
+        markers = take_rows(out["vertices"], sel)
         loss_marker = jnp.abs(markers - markers_target).mean()
         loss_vposer = (x72[:, 16:48] ** 2).mean()
         loss_shape = (x72[:, 6:16] ** 2).mean()

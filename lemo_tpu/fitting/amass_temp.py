@@ -26,6 +26,7 @@ from lemo_tpu.data.stats import GlobalStats
 from lemo_tpu.fitting import params as P
 from lemo_tpu.fitting.adam import piecewise_lr, run_adam
 from lemo_tpu.ops.rotations import aa_to_rot6d, rot6d_to_aa
+from lemo_tpu.ops.select import onehot_rows, take_rows
 from lemo_tpu.ops.signal import reflect_pad_dt
 from lemo_tpu.priors.conv_ae import smooth_enc_forward
 
@@ -105,8 +106,11 @@ def _make_fit_core(
     whole 100-step scan every time (tens of seconds of compile).
     """
     fwd = make_forward_fn(model)
-    ids67 = jnp.asarray(marker_ids_67)
-    ids81 = jnp.asarray(marker_ids_81)
+    V = model.consts["v_template"].shape[0]
+    # static marker selection as one-hot MXU matmuls — gather+scatter of
+    # marker rows measured ~0.8 ms of the ~3.7 ms step (see ops/select.py)
+    sel67 = onehot_rows(marker_ids_67, V)
+    sel81 = onehot_rows(marker_ids_81, V)
     lr_table = piecewise_lr([(0, 0.01), (61, 0.005)], num_steps)
 
     def loss_fn(v, shape10, markers_target, contact_lbl):
@@ -117,13 +121,13 @@ def _make_fit_core(
                                     model.config.num_expressions)
         out = fwd(sp, model.consts)
         verts = out["vertices"]
-        loss_marker = jnp.abs(verts[:, ids67] - markers_target).mean()
+        loss_marker = jnp.abs(take_rows(verts, sel67) - markers_target).mean()
         loss_vposer = (x72[:, 16:48] ** 2).mean()
         loss_shape = (x72[:, 6:16] ** 2).mean()
         loss_hand = (x72[:, 48:] ** 2).mean()
         loss_smooth = smoothness_prior_loss(
-            smooth_enc_params, verts[:, ids81], out["joints"][0, :25],
-            smooth_stats)
+            smooth_enc_params, take_rows(verts, sel81),
+            out["joints"][0, :25], smooth_stats)
         loss_cv = contact_friction_loss(verts, contact_lbl, foot_ids)
         return (weights.rec_markers * loss_marker
                 + weights.vposer * loss_vposer

@@ -110,7 +110,11 @@ def quat_to_aa(q: jnp.ndarray) -> jnp.ndarray:
     q = q.reshape(-1, 4)
     w = jnp.clip(q[:, 0], -1.0, 1.0)
     xyz = q[:, 1:]
-    sin_half = jnp.linalg.norm(xyz, axis=1)  # >= 0
+    # sqrt(x + eps) form, NOT linalg.norm: d norm/d xyz at the identity
+    # rotation (xyz == 0) is 0/0 = NaN, and a NaN here survives the
+    # where() below via the chain rule — a fit warm-started at exactly
+    # zero rotation would freeze on its first step (NaN guard).
+    sin_half = jnp.sqrt((xyz ** 2).sum(axis=1) + 1e-24)
     angle = 2.0 * jnp.arctan2(sin_half, w)
     scale = jnp.where(sin_half < _EPS, 2.0, angle / jnp.maximum(sin_half, _EPS))
     return (xyz * scale[:, None]).reshape(*batch_shape, 3)
@@ -136,10 +140,12 @@ def rot6d_to_matrot(x: jnp.ndarray) -> jnp.ndarray:
     batch_shape = x.shape[:-1]
     m = x.reshape(-1, 3, 2)
     a1, a2 = m[:, :, 0], m[:, :, 1]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=1, keepdims=True), 1e-12)
+    # sqrt(x + eps) norms: linalg.norm has a NaN gradient at 0, which a
+    # degenerate 6-D input would propagate even through the division guard
+    b1 = a1 / jnp.sqrt((a1 ** 2).sum(axis=1, keepdims=True) + 1e-24)
     dot = jnp.sum(b1 * a2, axis=1, keepdims=True)
     b2u = a2 - dot * b1
-    b2 = b2u / jnp.maximum(jnp.linalg.norm(b2u, axis=1, keepdims=True), 1e-12)
+    b2 = b2u / jnp.sqrt((b2u ** 2).sum(axis=1, keepdims=True) + 1e-24)
     b3 = jnp.cross(b1, b2)
     R = jnp.stack([b1, b2, b3], axis=-1)  # columns
     return R.reshape(*batch_shape, 3, 3)

@@ -176,3 +176,24 @@ class TestSmplxForward:
         out = fwd(params, model.consts)
         ref = np.asarray(model.consts["v_template"]) + np.array([1.0, 2.0, 3.0])
         np.testing.assert_allclose(np.asarray(out["vertices"][0]), ref, atol=2e-5)
+
+
+class TestChainImplementations:
+    def test_doubling_matches_level(self, md):
+        """Pointer-doubling chain is the level chain up to f32
+        association order (both exact HIGHEST selections)."""
+        from lemo_tpu.body_model import lbs as L
+        from lemo_tpu.ops.rotations import aa_to_matrot
+
+        parents = np.asarray(md["kintree_table"][0], np.int64)
+        parents[0] = 0
+        J = len(parents)
+        rng = np.random.RandomState(5)
+        Rm = aa_to_matrot(jnp.asarray(rng.randn(3, J, 3) * 0.4, jnp.float32))
+        joints = jnp.asarray(rng.randn(3, J, 3), jnp.float32)
+        pj_d, rel_d = L.rigid_transform_chain_doubling(Rm, joints, parents)
+        pj_l, rel_l = L.rigid_transform_chain_level(Rm, joints, parents)
+        np.testing.assert_allclose(np.asarray(pj_d), np.asarray(pj_l),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rel_d), np.asarray(rel_l),
+                                   atol=1e-5)

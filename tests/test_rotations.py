@@ -117,3 +117,36 @@ class TestJitVmap:
         jt = jax.jit(rot.aa_to_matrot)(aa)
         np.testing.assert_allclose(np.asarray(direct), np.asarray(vm), atol=1e-6)
         np.testing.assert_allclose(np.asarray(direct), np.asarray(jt), atol=1e-6)
+
+
+class TestGradientsAtSingularities:
+    """rot6d -> aa must have finite gradients at the identity rotation:
+    a fit warm-started at exactly zero rotation otherwise NaNs on its
+    first backward pass and the NaN guard silently freezes the whole fit
+    (regression: quat_to_aa used linalg.norm, whose grad at 0 is NaN)."""
+
+    def test_rot6d_to_aa_grad_at_identity(self):
+        r6 = rot.aa_to_rot6d(jnp.zeros((2, 3)))
+        g = jax.grad(lambda r: rot.rot6d_to_aa(r).sum())(r6)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_rot6d_to_aa_grad_near_identity(self):
+        for scale in (1e-6, 1e-3, 1e-1):
+            aa = jnp.asarray(RNG.randn(4, 3) * scale, jnp.float32)
+            g = jax.grad(lambda r: rot.rot6d_to_aa(r).sum())(
+                rot.aa_to_rot6d(aa))
+            assert np.isfinite(np.asarray(g)).all(), scale
+
+    def test_matrot_to_aa_grad_at_pi_rotations(self):
+        # 180-degree rotations exercise the non-w quaternion candidates
+        aa = jnp.asarray(np.eye(3, dtype=np.float32) * np.pi)
+        g = jax.grad(lambda a: rot.matrot_to_aa(
+            rot.aa_to_matrot(a)).sum())(aa)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_values_unchanged_by_guard(self):
+        aa = jnp.asarray(random_aa(32), jnp.float32)
+        back = np.asarray(rot.rot6d_to_aa(rot.aa_to_rot6d(aa)))
+        np.testing.assert_allclose(
+            R.from_rotvec(back).as_matrix(),
+            R.from_rotvec(np.asarray(aa)).as_matrix(), atol=1e-4)
