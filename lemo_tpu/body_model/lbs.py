@@ -98,7 +98,61 @@ def rigid_transform_chain(rot_mats, joints, parents):
     """Dispatch to the configured chain implementation (see CHAIN_IMPL)."""
     if CHAIN_IMPL == "doubling":
         return rigid_transform_chain_doubling(rot_mats, joints, parents)
+    if CHAIN_IMPL == "packed":
+        return rigid_transform_chain_packed(rot_mats, joints, parents)
     return rigid_transform_chain_level(rot_mats, joints, parents)
+
+
+def rigid_transform_chain_packed(
+    rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Level-parallel chain with (R, t) packed as one 3x4 affine.
+
+    Same contract and level schedule as
+    :func:`rigid_transform_chain_level`, but each level is 2 einsums
+    (one packed ancestor selection, one 3x3 x 3x4 compose) instead of 4
+    (separate R/t selections and composes): composing affines is
+    A_new = R_p @ A_l with t_p added to the last column.
+    """
+    import numpy as _np
+
+    _hi = jax.lax.Precision.HIGHEST
+
+    B, J = joints.shape[0], joints.shape[1]
+    rel_joints = joints.at[:, 1:].add(-joints[:, parents[1:]])
+
+    levels = _depth_levels(parents)
+    perm = [0] + [int(i) for lvl in levels for i in lvl]
+    pos = {j: k for k, j in enumerate(perm)}
+    A_l_all = jnp.concatenate(
+        [rot_mats[:, perm], rel_joints[:, perm][..., None]], axis=-1)
+    A_acc = A_l_all[:, 0:1]                       # [B, 1, 3, 4]
+    off = 1
+    for lvl in levels:
+        n = len(lvl)
+        S = _np.zeros((n, off), _np.float32)
+        for k, i in enumerate(lvl):
+            S[k, pos[int(parents[int(i)])]] = 1.0
+        S = jnp.asarray(S, rot_mats.dtype)
+        Ap = jnp.einsum("lp,bpmk->blmk", S, A_acc, precision=_hi)
+        Al = A_l_all[:, off:off + n]
+        comp = jnp.einsum("blmn,blnk->blmk", Ap[..., :3], Al,
+                          precision=_hi)
+        comp = jnp.concatenate(
+            [comp[..., :3], comp[..., 3:4] + Ap[..., 3:4]], axis=-1)
+        A_acc = jnp.concatenate([A_acc, comp], axis=1)
+        off += n
+    Pinv = _np.zeros((J, J), _np.float32)
+    for j in range(J):
+        Pinv[j, pos[j]] = 1.0
+    Pinv = jnp.asarray(Pinv, rot_mats.dtype)
+    Ag = jnp.einsum("jp,bpmk->bjmk", Pinv, A_acc, precision=_hi)
+    Rg, tg = Ag[..., :3], Ag[..., 3]
+
+    posed_joints = tg
+    rel_t = tg - jnp.einsum("bjmn,bjn->bjm", Rg, joints, precision=_hi)
+    rel = jnp.concatenate([Rg, rel_t[..., None]], axis=-1)  # [B, J, 3, 4]
+    return posed_joints, rel
 
 
 def rigid_transform_chain_doubling(

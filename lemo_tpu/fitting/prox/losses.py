@@ -36,6 +36,7 @@ from lemo_tpu.ops import robust
 from lemo_tpu.ops.chamfer_pallas import nn_distance_best as nn_distance
 from lemo_tpu.ops.intersection import batched_self_intersection
 from lemo_tpu.ops.sdf import sample_sdf_world
+from lemo_tpu.ops.select import onehot_rows, take_rows
 from lemo_tpu.ops.visibility import visibility_zbuffer
 from lemo_tpu.priors.body_priors import angle_prior, l2_prior
 
@@ -221,11 +222,17 @@ def depth_terms(verts_cam, st: ProxStatic, w: ProxWeights):
     return s2m.mean() * w.s2m, m2s.mean() * w.m2s
 
 
-def friction_terms(verts_world, st: ProxStatic, w: ProxWeights):
+def friction_terms(verts_world, st: ProxStatic, w: ProxWeights,
+                   sel=None):
     """Ground-plane friction (fitting_temp_slide.py:698-739): for friction
     vertices whose scene SDF < 1 cm, constrain the inter-frame velocity:
-    tangent magnitude ~ 0, normal component >= 0."""
-    fv = verts_world[:, st.fric_verts_ids, :]        # [T, Nf, 3]
+    tangent magnitude ~ 0, normal component >= 0.
+
+    `sel`: optional [Nf, V] one-hot built by make_prox_loss — the per-step
+    vertex gather + scatter-add backward is the slow form on TPU
+    (ops/select.py)."""
+    fv = (take_rows(verts_world, sel) if sel is not None
+          else verts_world[:, st.fric_verts_ids, :])  # [T, Nf, 3]
     sdf_v = sample_sdf_world(st.sdf, fv, st.grid_min, st.grid_max)  # [T, Nf]
     contact = sdf_v[:-1] < 0.01                      # [T-1, Nf]
     vel = fv[1:] - fv[:-1]                            # [T-1, Nf, 3]
@@ -241,9 +248,10 @@ def friction_terms(verts_world, st: ProxStatic, w: ProxWeights):
     return loss_t * w.friction_tangent, loss_n * w.friction_normal
 
 
-def contact_term(verts_world, st: ProxStatic, w: ProxWeights):
+def contact_term(verts_world, st: ProxStatic, w: ProxWeights, sel=None):
     """Scene-contact Chamfer (fitting_temp_slide.py:743-753)."""
-    cv = verts_world[:, st.contact_verts_ids, :]     # [T, Nc, 3]
+    cv = (take_rows(verts_world, sel) if sel is not None
+          else verts_world[:, st.contact_verts_ids, :])  # [T, Nc, 3]
 
     def per_frame(v):
         d2, _ = nn_distance(v, st.scene_verts)
@@ -253,24 +261,44 @@ def contact_term(verts_world, st: ProxStatic, w: ProxWeights):
     return jax.vmap(per_frame)(cv).mean() * w.contact
 
 
-def infill_terms(verts_world, st: ProxStatic, w: ProxWeights):
+def infill_terms(verts_world, st: ProxStatic, w: ProxWeights,
+                 sel_markers=None, foot_sel=None):
     """Motion-infill reconstruction + contact-velocity terms
-    (fitting_temp_slide.py:943-992) against the pre-pass targets."""
+    (fitting_temp_slide.py:943-992) against the pre-pass targets.
+
+    sel_markers: optional [67, V] one-hot; foot_sel: optional
+    (one-hot [Nf, V], {part: slice}) — see make_prox_loss."""
     Ti = st.infill_targets.shape[0]
-    markers = verts_world[:Ti, st.infill_marker_ids, :]  # [Ti, 67, 3]
+    markers = (take_rows(verts_world, sel_markers)[:Ti]
+               if sel_markers is not None
+               else verts_world[:Ti, st.infill_marker_ids, :])  # [Ti,67,3]
     miss = 1.0 - st.marker_mask[:Ti]                     # 1 = occluded
     diff = jnp.abs(st.infill_targets - markers) * miss[..., None]
     rec = robust.masked_mean(diff, jnp.broadcast_to(
         miss[..., None] > 0, diff.shape))
 
-    vel = (verts_world[1:] - verts_world[:-1]) * 30.0
     cv_total = 0.0
-    for i, part in enumerate(["left_heel", "right_heel", "left_toe",
-                              "right_toe"]):
-        ids = jnp.asarray(st.foot_ids[part])
-        speeds = jnp.sqrt((vel[:, ids, :] ** 2).sum(-1) + 1e-12)  # [T-1, n]
-        lbl = st.infill_contact_lbl[: speeds.shape[0], i][:, None]
-        cv_total = cv_total + robust.hinge_above(speeds, 0.1, lbl)
+    if foot_sel is not None:
+        # select feet first, then differentiate in time (selection is
+        # linear, so this is the same velocity) — skips materializing the
+        # [T-1, V, 3] velocity field
+        sel_all, part_slices = foot_sel
+        feet = take_rows(verts_world, sel_all)           # [T, Nf, 3]
+        vel_f = (feet[1:] - feet[:-1]) * 30.0
+        for i, part in enumerate(["left_heel", "right_heel", "left_toe",
+                                  "right_toe"]):
+            vp_ = vel_f[:, part_slices[part], :]
+            speeds = jnp.sqrt((vp_ ** 2).sum(-1) + 1e-12)
+            lbl = st.infill_contact_lbl[: speeds.shape[0], i][:, None]
+            cv_total = cv_total + robust.hinge_above(speeds, 0.1, lbl)
+    else:
+        vel = (verts_world[1:] - verts_world[:-1]) * 30.0
+        for i, part in enumerate(["left_heel", "right_heel", "left_toe",
+                                  "right_toe"]):
+            ids = jnp.asarray(st.foot_ids[part])
+            speeds = jnp.sqrt((vel[:, ids, :] ** 2).sum(-1) + 1e-12)
+            lbl = st.infill_contact_lbl[: speeds.shape[0], i][:, None]
+            cv_total = cv_total + robust.hinge_above(speeds, 0.1, lbl)
     return rec * w.motion_infill_rec, cv_total * w.motion_infill_contact
 
 
@@ -288,6 +316,32 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
     from lemo_tpu.body_model import vposer as vp
 
     jm = jnp.asarray(joint_mapper)
+
+    # Static vertex selections as one-hot MXU matmuls (ops/select.py):
+    # the ids live in the traced ProxStatic, but they are fixed model
+    # topology / marker-set constants, so the one-hots are built from the
+    # TEMPLATE here and baked into the compiled loss.
+    import numpy as _np
+
+    V = consts["v_template"].shape[0]
+
+    def _sel(ids):
+        return None if ids is None else onehot_rows(_np.asarray(ids), V)
+
+    sel_smooth = _sel(st_template.smooth_marker_ids)
+    sel_infill = _sel(st_template.infill_marker_ids)
+    sel_fric = _sel(st_template.fric_verts_ids)
+    sel_contact = _sel(st_template.contact_verts_ids)
+    foot_sel = None
+    if st_template.foot_ids is not None:
+        parts = ["left_heel", "right_heel", "left_toe", "right_toe"]
+        all_ids, slices, off = [], {}, 0
+        for part in parts:
+            ids = _np.asarray(st_template.foot_ids[part])
+            slices[part] = slice(off, off + len(ids))
+            all_ids.append(ids)
+            off += len(ids)
+        foot_sel = (onehot_rows(_np.concatenate(all_ids), V), slices)
 
     def loss_fn(opt_vars, betas, st: ProxStatic = st_template):
         body_pose = vp.decode(vposer_params, opt_vars["pose_embedding"], "aa")
@@ -370,18 +424,21 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
 
         if (w.friction_normal > 0 or w.friction_tangent > 0) and \
                 st.fric_verts_ids is not None and st.sdf is not None:
-            lt, ln = friction_terms(verts_world, st, w)
+            lt, ln = friction_terms(verts_world, st, w, sel=sel_fric)
             terms["loss_fric_tangent"], terms["loss_fric_normal"] = lt, ln
         else:
             terms["loss_fric_tangent"] = terms["loss_fric_normal"] = 0.0
 
         if w.contact > 0 and st.scene_verts is not None:
-            terms["contact_loss"] = contact_term(verts_world, st, w)
+            terms["contact_loss"] = contact_term(verts_world, st, w,
+                                                 sel=sel_contact)
         else:
             terms["contact_loss"] = 0.0
 
         if st.smooth_marker_ids is not None:
-            markers_s = verts[:, st.smooth_marker_ids, :]
+            markers_s = (take_rows(verts, sel_smooth)
+                         if sel_smooth is not None
+                         else verts[:, st.smooth_marker_ids, :])
             if w.smooth_acc > 0:
                 mv = markers_s[1:] - markers_s[:-1]
                 terms["smooth_acc_loss"] = ((mv[1:] - mv[:-1]) ** 2).mean() * \
@@ -397,7 +454,9 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
                 terms["motion_prior_smooth_loss"] = w.motion_smooth * \
                     smoothness_prior_loss(
                         st.smooth_enc_params,
-                        verts_world[:, st.smooth_marker_ids, :],
+                        take_rows(verts_world, sel_smooth)
+                        if sel_smooth is not None
+                        else verts_world[:, st.smooth_marker_ids, :],
                         joints_world[0, :25], st.smooth_stats)
             else:
                 terms["motion_prior_smooth_loss"] = 0.0
@@ -406,7 +465,9 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
             terms["motion_prior_smooth_loss"] = 0.0
 
         if (w.motion_infill_rec > 0 and st.infill_targets is not None):
-            mi, mic = infill_terms(verts_world, st, w)
+            mi, mic = infill_terms(verts_world, st, w,
+                                   sel_markers=sel_infill,
+                                   foot_sel=foot_sel)
             terms["motion_infill_loss"] = mi
             terms["motion_infill_contact_loss"] = mic
         else:
