@@ -70,15 +70,26 @@ def vertices2joints(J_regressor: jnp.ndarray, vertices: jnp.ndarray) -> jnp.ndar
 
 
 def _depth_levels(parents) -> list:
-    """Group joints 1..J-1 by kinematic-tree depth (static topology)."""
+    """Group joints 1..J-1 by kinematic-tree depth (static topology).
+
+    Memoized recursion rather than an index-order sweep, so joint
+    numbering need not be topologically sorted (SMPL-family models are,
+    but the schedule should not silently depend on it)."""
     import numpy as _np
 
     J = len(parents)
-    depth = _np.zeros(J, _np.int64)
+    depth = _np.full(J, -1, _np.int64)
+    depth[0] = 0
+
+    def d(i: int) -> int:
+        if depth[i] < 0:
+            depth[i] = d(int(parents[i])) + 1
+        return int(depth[i])
+
     for i in range(1, J):
-        depth[i] = depth[int(parents[i])] + 1
-    return [_np.nonzero(depth == d)[0]
-            for d in range(1, int(depth.max()) + 1)]
+        d(i)
+    return [_np.nonzero(depth == lvl)[0]
+            for lvl in range(1, int(depth.max()) + 1)]
 
 
 # Kinematic-chain composition strategy. 'level' (default) runs one
@@ -96,6 +107,10 @@ CHAIN_IMPL = "level"
 
 def rigid_transform_chain(rot_mats, joints, parents):
     """Dispatch to the configured chain implementation (see CHAIN_IMPL)."""
+    if CHAIN_IMPL == "pallas":
+        from lemo_tpu.body_model.chain_pallas import \
+            rigid_transform_chain_pallas
+        return rigid_transform_chain_pallas(rot_mats, joints, parents)
     if CHAIN_IMPL == "doubling":
         return rigid_transform_chain_doubling(rot_mats, joints, parents)
     if CHAIN_IMPL == "packed":

@@ -50,14 +50,14 @@ def main() -> None:
 
     fits = {}
     outs = {}
-    for impl in ("level", "packed", "doubling"):
+    for impl in ("level", "pallas", "packed", "doubling"):
         lbs_mod.CHAIN_IMPL = impl
         fits[impl] = jax.jit(s2._make_fit_core(
             model, vpp, enc, stats, ids67, ids81, feet, num_steps=steps))
         outs[impl] = jax.block_until_ready(
             fits[impl](target, contact, i72)[0])  # warm
 
-    for other in ("packed", "doubling"):
+    for other in ("pallas", "packed", "doubling"):
         d = float(jnp.abs(outs["level"] - outs[other]).max())
         print(f"fitted-params max |level - {other}|: {d:.3e}")
 
