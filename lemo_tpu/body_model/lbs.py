@@ -92,28 +92,37 @@ def _depth_levels(parents) -> list:
             for lvl in range(1, int(depth.max()) + 1)]
 
 
-# Kinematic-chain composition strategy. 'level' (default) runs one
-# compose per tree depth (~12 rounds for SMPL-X); 'doubling' runs
-# ceil(log2(max_depth+1)) = 4 pointer-doubling rounds. Both are exact
-# (HIGHEST selections/composes) and differ only in association order
-# (~1e-6 f32 noise). Measured in the production Stage-2 step
-# (scripts/ab_chain_tpu.py, v5e, interleaved): level 4.76 ms/step,
-# doubling 5.73 ms — the wider [J+1, J+1] ancestor selections cost more
-# than the 3x round reduction saves, so the chain is NOT round-count
-# bound at J=55. 'doubling' is kept for larger topologies where it
-# should cross over.
-CHAIN_IMPL = "level"
+# Kinematic-chain composition strategy:
+#   'auto'     - (default) 'pallas' on TPU, 'level' elsewhere
+#   'pallas'   - single-kernel serial walk (body_model/chain_pallas.py);
+#                fastest on TPU (4.15 vs 4.27 ms full S2 step, and less
+#                than half the compile time), interpreter-mode on CPU
+#   'level'    - one batched compose per tree depth (~12 XLA rounds)
+#   'packed'   - level schedule with (R|t) packed 3x4 (2 einsums/level);
+#                measures WITHIN NOISE of level — op count is not the
+#                chain's cost driver
+#   'doubling' - 4 pointer-doubling rounds; SLOWER (5.2-5.7 ms step):
+#                full-width [J+1, J+1] selections outweigh the round
+#                reduction at J=55
+# All are exact and differ only in f32 association order (~1e-6);
+# A/B via scripts/ab_chain_tpu.py.
+CHAIN_IMPL = "auto"
 
 
 def rigid_transform_chain(rot_mats, joints, parents):
     """Dispatch to the configured chain implementation (see CHAIN_IMPL)."""
-    if CHAIN_IMPL == "pallas":
+    impl = CHAIN_IMPL
+    if impl == "auto":
+        # pallas-interpret on CPU would be slow; the XLA schedule is the
+        # right choice everywhere but a real TPU
+        impl = "pallas" if jax.default_backend() == "tpu" else "level"
+    if impl == "pallas":
         from lemo_tpu.body_model.chain_pallas import \
             rigid_transform_chain_pallas
         return rigid_transform_chain_pallas(rot_mats, joints, parents)
-    if CHAIN_IMPL == "doubling":
+    if impl == "doubling":
         return rigid_transform_chain_doubling(rot_mats, joints, parents)
-    if CHAIN_IMPL == "packed":
+    if impl == "packed":
         return rigid_transform_chain_packed(rot_mats, joints, parents)
     return rigid_transform_chain_level(rot_mats, joints, parents)
 

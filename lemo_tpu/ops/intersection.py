@@ -187,6 +187,15 @@ def self_intersection_loss(
     return total
 
 
+# Narrow-phase implementation: "pallas" (the fused VMEM-resident kernel
+# in ops/intersection_pallas.py computes energy AND gradients in one
+# O(F^2) sweep with exact tile-sphere block skipping) or "dense" (the
+# XLA blockwise sweep above). Both compute identical masks/energy; the
+# dispatcher falls back to dense when part filtering needs > 32 parts
+# (the Pallas filter is a uint32 bitmask).
+INTERSECTION_IMPL = "dense"
+
+
 def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,
                               **kw):
     """[B, V, 3] -> [B] energies.
@@ -198,6 +207,16 @@ def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,
     production scale (B=100, F=20946). Differentiability is preserved
     (lax.map is a scan; the inner step is already rematerialized).
     """
+    if INTERSECTION_IMPL == "pallas":
+        tab = kw.get("ign_table")
+        if tab is None or tab.shape[0] <= 32:
+            from lemo_tpu.ops.intersection_pallas import \
+                batched_self_intersection_pallas
+            pkw = {k: v for k, v in kw.items()
+                   if k in ("sigma", "segm", "ign_table")}
+            return batched_self_intersection_pallas(verts_batch, faces,
+                                                    **pkw)
+
     B = verts_batch.shape[0]
     one = lambda v: self_intersection_loss(v, faces, **kw)  # noqa: E731
     if B <= frame_chunk:

@@ -1,0 +1,339 @@
+"""Self-intersection cone energy as a single fused Pallas TPU kernel.
+
+The XLA dense sweep (`ops/intersection.py`) is HBM-bound: every [F, B]
+mask/φ intermediate round-trips to HBM, and value_and_grad pays the
+sweep ~3x via remat (measured 6.9 s/step at PROX scale B=100, F=20946).
+This kernel keeps EVERYTHING resident in VMEM (all per-face data is a
+few hundred KB) and computes, in ONE pass over [RT, CT] face-pair
+blocks:
+
+  - the masked cone energy  E = Σ φ²,
+    φ_ia = depth_ia = s_i − n_i·v_a   on the active set
+    {sphere overlap} ∧ {not adjacent} ∧ {not part-filtered} ∧
+    {depth > 0} ∧ {lat² < rad2_i},
+  - AND its gradients dE/ds, dE/dn, dE/dv (the masks are hard gates, so
+    only the depth path carries gradient — exactly what jax autodiff
+    produces for the XLA version). The backward pass is therefore a
+    multiply by the upstream cotangent: the O(F²) sweep runs ONCE per
+    step instead of ~3x.
+
+Numerics: distances are computed as differences-then-squares (exact
+f32 on the VPU) rather than expanded quadratic forms, so no recentering
+or 6-pass matmuls are needed — strictly better than the XLA path's
+mitigations.
+
+Block skipping: faces are processed in [RT, CT] tiles; a tile pair is
+skipped when the tiles' bounding spheres (center + max face-center
+distance + max face radius) cannot overlap — exact, because the skip
+condition implies every pairwise sphere test in the block is false.
+SMPL-X face order is spatially coherent enough that most tile pairs
+skip.
+
+Part-pair filtering (FilterFaces semantics) rides a per-row-face uint32
+bitmask over column part ids — requires <= 32 parts (smplx_parts_segm
+has 27); larger tables fall back to the XLA implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RT = 256   # row faces per block (sublanes)
+CT = 512   # col faces per block (lanes)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(rowtile_ref, coltile_ref, rowpack_ref, rowint_ref,
+            colmisc_ref, coltri_ref, colint_ref,
+            e_ref, rowgrad_ref, dtri_ref,
+            rg_acc, dt_acc, e_acc, e_comp):
+    """See module docstring.
+
+    rowtile [Ntr, 4] SMEM f32: tile center (3) + skip radius (1)
+    coltile [Ntc, 4] SMEM f32
+    rowpack [Fp, 16] f32: c(0:3) n(3:6) s(6) rad2(7) r(8) valid(9)
+    rowint  [Fp, 8]  i32: face vertex ids (0:3), ignore bitmask (3)
+    colmisc [8, Fp]  f32: c(0:3) r(3) valid(4)
+    coltri  [16, Fp] f32: vertex a coords at rows 3a..3a+2 (9 used)
+    colint  [8, Fp]  i32: face vertex ids (0:3), part id (3)
+    e_ref   [1, 1]   f32 out
+    rowgrad [Fp, 8]  f32 out: dn(0:3) ds(3)
+    dtri    [16, Fp] f32 out: dv_a coords at rows 3a..3a+2
+    rg_acc / dt_acc: VMEM scratch accumulators (same shapes as outputs)
+    """
+    Fp = rowpack_ref.shape[0]
+    nrt = Fp // RT
+    nct = Fp // CT
+
+    rg_acc[:] = jnp.zeros_like(rg_acc)
+    dt_acc[:] = jnp.zeros_like(dt_acc)
+    e_acc[0, 0] = 0.0
+    e_comp[0, 0] = 0.0
+
+    def row_body(it, carry):
+        r0 = it * RT
+        rp = rowpack_ref[pl.ds(r0, RT), :]
+        ci = (rp[:, 0:1], rp[:, 1:2], rp[:, 2:3])
+        ni = (rp[:, 3:4], rp[:, 4:5], rp[:, 5:6])
+        si = rp[:, 6:7]
+        rad2i = rp[:, 7:8]
+        ri = rp[:, 8:9]
+        validi = rp[:, 9:10]
+        rint = rowint_ref[pl.ds(r0, RT), :]
+        rid = (rint[:, 0:1], rint[:, 1:2], rint[:, 2:3])
+        rbits = rint[:, 3:4]
+
+        def col_body(jt, carry2):
+            # exact tile-pair sphere prescreen (scalars from SMEM)
+            dx = rowtile_ref[it, 0] - coltile_ref[jt, 0]
+            dy = rowtile_ref[it, 1] - coltile_ref[jt, 1]
+            dz = rowtile_ref[it, 2] - coltile_ref[jt, 2]
+            lim = rowtile_ref[it, 3] + coltile_ref[jt, 3]
+            hit = dx * dx + dy * dy + dz * dz <= lim * lim
+
+            @pl.when(hit)
+            def compute():
+                c0 = jt * CT
+                cj = (colmisc_ref[0:1, pl.ds(c0, CT)],
+                      colmisc_ref[1:2, pl.ds(c0, CT)],
+                      colmisc_ref[2:3, pl.ds(c0, CT)])
+                rj = colmisc_ref[3:4, pl.ds(c0, CT)]
+                validj = colmisc_ref[4:5, pl.ds(c0, CT)]
+                ddx = ci[0] - cj[0]
+                ddy = ci[1] - cj[1]
+                ddz = ci[2] - cj[2]
+                d2 = ddx * ddx + ddy * ddy + ddz * ddz       # [RT, CT]
+                rsum = ri + rj
+                m = d2 < rsum * rsum
+                # adjacency: shared vertex id (covers i == j)
+                adj = jnp.zeros(m.shape, jnp.bool_)
+                for p_ in range(3):
+                    cidp = colint_ref[p_:p_ + 1, pl.ds(c0, CT)]
+                    for q in range(3):
+                        adj = adj | (rid[q] == cidp)
+                m = m & ~adj
+                # part-pair ignore: bit seg_j of the row bitmask
+                segj = colint_ref[3:4, pl.ds(c0, CT)]
+                ign = ((jax.lax.shift_right_logical(rbits, segj) & 1) == 1)
+                m = m & ~ign & (validj > 0.0) & (validi > 0.0)
+
+                e_blk = jnp.zeros((), jnp.float32)
+                ds_t = jnp.zeros((RT, 1), jnp.float32)
+                dn_t = [jnp.zeros((RT, 1), jnp.float32) for _ in range(3)]
+                for a in range(3):
+                    va = (coltri_ref[3 * a:3 * a + 1, pl.ds(c0, CT)],
+                          coltri_ref[3 * a + 1:3 * a + 2, pl.ds(c0, CT)],
+                          coltri_ref[3 * a + 2:3 * a + 3, pl.ds(c0, CT)])
+                    ndotv = ni[0] * va[0] + ni[1] * va[1] + ni[2] * va[2]
+                    depth = si - ndotv
+                    lx = va[0] - ci[0]
+                    ly = va[1] - ci[1]
+                    lz = va[2] - ci[2]
+                    lat2 = lx * lx + ly * ly + lz * lz - depth * depth
+                    act = m & (depth > 0.0) & (lat2 < rad2i)
+                    phi = jnp.where(act, depth, 0.0)
+                    e_blk = e_blk + jnp.sum(phi * phi)
+                    g = phi + phi                              # 2 φ
+                    ds_t = ds_t + jnp.sum(g, axis=1, keepdims=True)
+                    for k in range(3):
+                        dn_t[k] = dn_t[k] - jnp.sum(
+                            g * va[k], axis=1, keepdims=True)
+                        dt_acc[3 * a + k:3 * a + k + 1, pl.ds(c0, CT)] = \
+                            dt_acc[3 * a + k:3 * a + k + 1,
+                                   pl.ds(c0, CT)] - jnp.sum(
+                                g * ni[k], axis=0, keepdims=True)
+                for k in range(3):
+                    rg_acc[pl.ds(r0, RT), k:k + 1] = \
+                        rg_acc[pl.ds(r0, RT), k:k + 1] + dn_t[k]
+                rg_acc[pl.ds(r0, RT), 3:4] = \
+                    rg_acc[pl.ds(r0, RT), 3:4] + ds_t
+                # Kahan-compensated accumulation: ~1700 sequential block
+                # additions onto a large total would otherwise drift
+                # hundreds of ulps (measured 4.5e-5 relative)
+                y = e_blk - e_comp[0, 0]
+                t = e_acc[0, 0] + y
+                e_comp[0, 0] = (t - e_acc[0, 0]) - y
+                e_acc[0, 0] = t
+
+            return carry2
+
+        return jax.lax.fori_loop(0, nct, col_body, carry)
+
+    jax.lax.fori_loop(0, nrt, row_body, 0)
+    e_ref[0, 0] = e_acc[0, 0]
+    rowgrad_ref[:] = rg_acc[:]
+    dtri_ref[:] = dt_acc[:]
+
+
+def _pad(x, total, axis=0, fill=0):
+    amt = total - x.shape[axis]
+    if amt == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, amt)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _cone_energy_call(s, n, tri, c, r, rad2, fid, bits, seg, valid):
+    """Assemble packs and invoke the kernel. All inputs are per-face
+    arrays of length F (unpadded); returns (E, ds [F], dn [F, 3],
+    dtri [F, 3, 3])."""
+    F = s.shape[0]
+    tile = max(RT, CT)
+    Fp = F + (-F) % tile
+
+    rowpack = jnp.concatenate(
+        [c, n, s[:, None], rad2[:, None], r[:, None], valid[:, None],
+         jnp.zeros((F, 6), jnp.float32)], axis=1)            # [F, 16]
+    rowpack = _pad(rowpack, Fp)
+    rowint = jnp.concatenate(
+        [fid, bits[:, None].astype(jnp.int32),
+         jnp.zeros((F, 4), jnp.int32)], axis=1)              # [F, 8]
+    # padded rows: invalid face ids (-1) so adjacency never matches
+    rowint = _pad(rowint, Fp, fill=-1)
+
+    colmisc = _pad(jnp.concatenate(
+        [c.T, r[None], valid[None],
+         jnp.zeros((3, F), jnp.float32)], axis=0), Fp, axis=1)  # [8, Fp]
+    tri_rows = tri.reshape(F, 9).T                            # [9, F]
+    coltri = _pad(jnp.concatenate(
+        [tri_rows, jnp.zeros((7, F), jnp.float32)], axis=0), Fp, axis=1)
+    colint = _pad(jnp.concatenate(
+        [fid.T, seg[None].astype(jnp.int32),
+         jnp.zeros((4, F), jnp.int32)], axis=0), Fp, axis=1, fill=-2)
+    # clamp the part-id row: a negative shift count is undefined, and
+    # padded columns are already killed by valid == 0
+    colint = colint.at[3].set(jnp.clip(colint[3], 0, 31))
+
+    # exact tile bounding data: center + (max |c - center| + max r)
+    ntr, ntc = Fp // RT, Fp // CT
+    cpad = _pad(c, Fp)
+    rpad = _pad(r, Fp)
+    vpad = _pad(valid, Fp)
+
+    def tile_data(nt, ts):
+        cc = cpad.reshape(nt, ts, 3)
+        vv = vpad.reshape(nt, ts, 1)
+        cnt = jnp.maximum(vv.sum(axis=1), 1.0)
+        ctr = (cc * vv).sum(axis=1) / cnt
+        d = jnp.sqrt(((cc - ctr[:, None]) ** 2).sum(-1) + 1e-20)
+        sl = ((d + rpad.reshape(nt, ts)) * vv[..., 0]).max(axis=1)
+        return jnp.concatenate([ctr, sl[:, None]], axis=1)   # [nt, 4]
+
+    rowtile = tile_data(ntr, RT)
+    coltile = tile_data(ntc, CT)
+
+    e, rowgrad, dtri_rows = pl.pallas_call(
+        _kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Fp, 8), jnp.float32),
+                   jax.ShapeDtypeStruct((16, Fp), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((Fp, 8), jnp.float32),
+                        pltpu.VMEM((16, Fp), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=_interpret(),
+    )(rowtile, coltile, rowpack, rowint, colmisc, coltri, colint)
+
+    ds = rowgrad[:F, 3]
+    dn = rowgrad[:F, 0:3]
+    dtri = dtri_rows[0:9, :F].T.reshape(F, 3, 3)
+    return e[0, 0], ds, dn, dtri
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _cone_energy(s, n, tri, c, r, rad2, fid, bits, seg, valid):
+    e, _, _, _ = _cone_energy_call(s, n, tri, c, r, rad2, fid, bits,
+                                   seg, valid)
+    return e
+
+
+def _cone_energy_fwd(s, n, tri, c, r, rad2, fid, bits, seg, valid):
+    e, ds, dn, dtri = _cone_energy_call(s, n, tri, c, r, rad2, fid,
+                                        bits, seg, valid)
+    shapes = (c.shape, r.shape, rad2.shape, fid.shape, bits.shape,
+              seg.shape, valid.shape)
+    return e, (ds, dn, dtri, shapes)
+
+
+def _cone_energy_bwd(res, g):
+    ds, dn, dtri, shapes = res
+    (c_s, r_s, rad2_s, fid_s, bits_s, seg_s, valid_s) = shapes
+
+    def f0(shape):
+        return np.zeros(shape, jax.dtypes.float0)
+
+    # masks are hard gates: zero cotangent for everything but the depth
+    # path (s, n, tri) — matching jax autodiff of the XLA formulation
+    return (g * ds, g * dn, g * dtri,
+            jnp.zeros(c_s, jnp.float32), jnp.zeros(r_s, jnp.float32),
+            jnp.zeros(rad2_s, jnp.float32), f0(fid_s), f0(bits_s),
+            f0(seg_s), jnp.zeros(valid_s, jnp.float32))
+
+
+_cone_energy.defvjp(_cone_energy_fwd, _cone_energy_bwd)
+
+
+def self_intersection_loss_pallas(
+    verts: jnp.ndarray,          # [V, 3]
+    faces: jnp.ndarray,          # [F, 3] int
+    sigma: float = 0.5,
+    segm: jnp.ndarray | None = None,
+    ign_table: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Drop-in for ops.intersection.self_intersection_loss (same masks,
+    same energy, same gradient structure). Requires <= 32 parts when
+    part filtering is used; the dispatcher falls back otherwise."""
+    from lemo_tpu.ops.intersection import face_geometry
+
+    F = faces.shape[0]
+    # Recenter like the dense path: the kernel's differences-then-squares
+    # are exact either way, but s = c·n and depth = s − n·v are computed
+    # at absolute scale, so meter-scale scene coordinates would cost
+    # ~|c|·ε of cancellation noise at the activation gates.
+    verts = verts - jax.lax.stop_gradient(verts.mean(axis=0))
+    c, n, r = face_geometry(verts, faces)
+    s = (c * n).sum(-1)
+    rad2 = (sigma * r) ** 2
+    tri = verts[faces]
+    fid = faces.astype(jnp.int32)
+    valid = jnp.ones((F,), jnp.float32)
+
+    if segm is not None and ign_table is not None:
+        seg = jnp.asarray(segm, jnp.int32)
+        # per-face uint32 bitmask of ignored partner parts
+        P = ign_table.shape[0]
+        weights = (jnp.asarray(ign_table, jnp.int32) *
+                   (1 << jnp.arange(P, dtype=jnp.int32))[None, :]).sum(1)
+        bits = weights[seg]
+    else:
+        seg = jnp.zeros((F,), jnp.int32)
+        bits = jnp.zeros((F,), jnp.int32)
+
+    return _cone_energy(s, n, tri, c, r, rad2, fid, bits, seg, valid)
+
+
+def batched_self_intersection_pallas(verts_batch, faces, **kw):
+    """[B, V, 3] -> [B] energies; frames sequentially via lax.map (each
+    frame's sweep is itself a large kernel)."""
+    one = lambda v: self_intersection_loss_pallas(v, faces, **kw)  # noqa
+    return jax.lax.map(one, verts_batch)

@@ -1,0 +1,206 @@
+"""Fused Pallas self-intersection kernel vs the XLA dense sweep.
+
+Two tiers of checks, because the cone energy is DISCONTINUOUS at its
+activation gates (a pair enters with phi = depth > 0 the instant
+lat2 < rad2 / spheres overlap): implementations that round the face
+geometry differently can legitimately disagree by whole phi^2 jumps on
+borderline pairs (measured ~5e-5 relative on a posed body).
+
+  1. Kernel exactness: feed `_cone_energy_call` and a float64 numpy
+     oracle the SAME f32 face inputs — gate decisions then match
+     bit-for-bit and energy/gradients must agree tightly.
+  2. Cross-implementation: pallas vs the XLA dense sweep through the
+     public API, at a tolerance that admits borderline-gate flips.
+
+Interpreter mode on the CPU mesh; the TPU path is the same code
+(A/B'd by scripts/ab_intersection_tpu.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lemo_tpu.body_model import load_model, make_forward_fn
+from lemo_tpu.ops import intersection as xi
+from lemo_tpu.ops import intersection_pallas as ip
+from lemo_tpu.ops.intersection import face_geometry
+from lemo_tpu.ops.intersection_pallas import (
+    batched_self_intersection_pallas, self_intersection_loss_pallas)
+from lemo_tpu.testing.synthetic import synthetic_smplx_npz
+
+RNG = np.random.RandomState(3)
+# admits a few borderline-gate flips (phi^2 ~ 1e-2 each on E ~ 1.5e4)
+GATE_RTOL = 3e-4
+
+
+def _posed_body(seed=3, pose_scale=0.7):
+    md = synthetic_smplx_npz()
+    model = load_model(md, use_pca=True, num_pca_comps=12)
+    fwd = jax.jit(make_forward_fn(model))
+    p = dict(model.zero_params(1))
+    p["body_pose"] = jnp.asarray(
+        np.random.RandomState(seed).randn(1, 63) * pose_scale, jnp.float32)
+    verts = fwd(p, model.consts)["vertices"][0]
+    return verts, jnp.asarray(md["f"].astype(np.int32))
+
+
+def _oracle(s, n, tri, c, r, rad2, faces, bits=None, seg=None):
+    """float64 masked cone energy + gradients on given (f32) face data.
+
+    Same masks as the kernel; because the inputs are identical, every
+    gate decision matches the kernel's and the comparison is tight."""
+    s = np.asarray(s, np.float64)
+    n = np.asarray(n, np.float64)
+    tri = np.asarray(tri, np.float64)
+    c = np.asarray(c, np.float64)
+    r = np.asarray(r, np.float64)
+    rad2 = np.asarray(rad2, np.float64)
+    f = np.asarray(faces)
+    F = f.shape[0]
+    d2 = ((c[:, None] - c[None]) ** 2).sum(-1)
+    m = d2 < (r[:, None] + r[None]) ** 2
+    adj = np.zeros_like(m)
+    for p in range(3):
+        for q in range(3):
+            adj |= f[:, p, None] == f[None, :, q]
+    m &= ~adj
+    if bits is not None:
+        ign = ((np.asarray(bits)[:, None] >> np.asarray(seg)[None, :])
+               & 1) == 1
+        m &= ~ign
+    E = 0.0
+    ds = np.zeros(F)
+    dn = np.zeros((F, 3))
+    dtri = np.zeros((F, 3, 3))
+    for a in range(3):
+        v = tri[:, a]                                    # [F, 3]
+        depth = s[:, None] - n @ v.T                     # [F, F]
+        lat2 = ((v[None] - c[:, None]) ** 2).sum(-1) - depth ** 2
+        act = m & (depth > 0) & (lat2 < rad2[:, None])
+        phi = np.where(act, depth, 0.0)
+        E += (phi ** 2).sum()
+        g = 2.0 * phi
+        ds += g.sum(1)
+        dn -= g @ v
+        dtri[:, a] -= (g.T[..., None] * n[None]).sum(1)
+    return E, ds, dn, dtri
+
+
+class TestKernelExactness:
+    """Tier 1: the kernel vs a same-inputs float64 oracle (tight)."""
+
+    def _inputs(self):
+        verts, faces = _posed_body()
+        verts = verts - verts.mean(axis=0)
+        c, n, r = face_geometry(verts, faces)
+        s = (c * n).sum(-1)
+        rad2 = (0.5 * r) ** 2
+        tri = verts[faces]
+        F = faces.shape[0]
+        return (s, n, tri, c, r, rad2, faces.astype(jnp.int32),
+                jnp.zeros((F,), jnp.int32), jnp.zeros((F,), jnp.int32),
+                jnp.ones((F,), jnp.float32)), faces
+
+    def test_energy_and_grads_exact(self):
+        args, faces = self._inputs()
+        e, ds, dn, dtri = ip._cone_energy_call(*args)
+        E, ds_o, dn_o, dtri_o = _oracle(*args[:6], faces)
+        assert abs(float(e) - E) / E < 1e-6
+        for got, want in ((ds, ds_o), (dn, dn_o), (dtri, dtri_o)):
+            scale = max(np.abs(want).max(), 1.0)
+            assert np.abs(np.asarray(got) - want).max() / scale < 1e-6
+
+    def test_part_filter_exact(self):
+        (s, n, tri, c, r, rad2, fid, _, _, valid), faces = self._inputs()
+        F = faces.shape[0]
+        seg = jnp.asarray(RNG.randint(0, 27, size=F), jnp.int32)
+        tab = np.zeros((27, 27), bool)
+        for a, b in [(3, 7), (7, 3), (1, 1), (20, 25), (25, 20)]:
+            tab[a, b] = True
+        weights = (tab.astype(np.int64) * (1 << np.arange(27))).sum(1)
+        bits = jnp.asarray(weights[np.asarray(seg)], jnp.int32)
+        e, ds, _, _ = ip._cone_energy_call(s, n, tri, c, r, rad2, fid,
+                                           bits, seg, valid)
+        E, ds_o, _, _ = _oracle(s, n, tri, c, r, rad2, faces,
+                                bits=bits, seg=seg)
+        assert abs(float(e) - E) / E < 1e-6
+        e_all, _, _, _ = ip._cone_energy_call(
+            s, n, tri, c, r, rad2, fid, jnp.zeros_like(bits),
+            jnp.zeros_like(seg), valid)
+        assert float(e) < float(e_all)   # filtering removes energy
+
+
+class TestIntersectionPallas:
+    """Tier 2: public API vs the XLA dense sweep (gate-flip tolerance)."""
+
+    def test_energy_matches_dense(self):
+        verts, faces = _posed_body()
+        e_x = float(xi.self_intersection_loss(verts, faces))
+        e_p = float(self_intersection_loss_pallas(verts, faces))
+        assert abs(e_x - e_p) / max(abs(e_x), 1e-9) < GATE_RTOL
+
+    def test_gradient_matches_dense(self):
+        verts, faces = _posed_body()
+        gx = jax.grad(lambda v: xi.self_intersection_loss(v, faces))(verts)
+        gp = jax.grad(
+            lambda v: self_intersection_loss_pallas(v, faces))(verts)
+        scale = max(float(jnp.abs(gx).max()), 1.0)
+        assert float(jnp.abs(gx - gp).max()) / scale < GATE_RTOL
+
+    def test_part_filter_matches_dense(self):
+        verts, faces = _posed_body()
+        F = faces.shape[0]
+        segm = jnp.asarray(RNG.randint(0, 27, size=F), jnp.int32)
+        tab = np.zeros((27, 27), bool)
+        for a, b in [(3, 7), (7, 3), (1, 1), (20, 25), (25, 20)]:
+            tab[a, b] = True
+        tab = jnp.asarray(tab)
+        e_x = float(xi.self_intersection_loss(
+            verts, faces, segm=segm, ign_table=tab))
+        e_p = float(self_intersection_loss_pallas(
+            verts, faces, segm=segm, ign_table=tab))
+        assert abs(e_x - e_p) / max(abs(e_x), 1e-9) < GATE_RTOL
+        e_all = float(self_intersection_loss_pallas(verts, faces))
+        assert e_p < e_all
+
+    def test_separated_bodies_zero_cross_energy(self):
+        # two bodies far apart: every cross tile pair is skipped; the
+        # pair energy equals twice the single-body energy (recentering
+        # moves the shared centroid, so compare against the pair's own
+        # halves via part filtering of cross terms being impossible —
+        # instead check the simple invariant on an unposed body)
+        verts, faces = _posed_body(pose_scale=0.0)
+        far = jnp.concatenate([verts, verts + jnp.asarray([50.0, 0, 0])])
+        faces2 = jnp.concatenate([faces, faces + verts.shape[0]])
+        e_pair = float(self_intersection_loss_pallas(far, faces2))
+        e_self = 2.0 * float(self_intersection_loss_pallas(verts, faces))
+        assert abs(e_pair - e_self) / max(e_self, 1e-9) < GATE_RTOL
+
+    def test_batched_matches_dense(self):
+        # reference runs per-frame (NOT vmapped: batched-matmul rounding
+        # in the vmapped dense path flips hundreds of borderline gates
+        # on this heavily self-intersecting synthetic mesh — measured
+        # 1.6e-3 relative, an artifact of the reference, not the kernel)
+        verts, faces = _posed_body()
+        vb = jnp.stack([verts, verts * 1.02 + 0.01])
+        e_p = np.asarray(batched_self_intersection_pallas(vb, faces))
+        e_x = np.asarray([float(xi.self_intersection_loss(v, faces))
+                          for v in vb])
+        np.testing.assert_allclose(e_p, e_x, rtol=GATE_RTOL)
+
+    def test_dispatcher_fallback_large_table(self):
+        # > 32 parts: dispatcher must use the dense path (no crash)
+        verts, faces = _posed_body()
+        F = faces.shape[0]
+        segm = jnp.asarray(RNG.randint(0, 40, size=F), jnp.int32)
+        tab = jnp.zeros((40, 40), bool)
+        old = xi.INTERSECTION_IMPL
+        try:
+            xi.INTERSECTION_IMPL = "pallas"
+            e = xi.batched_self_intersection(
+                verts[None], faces, segm=segm, ign_table=tab)
+        finally:
+            xi.INTERSECTION_IMPL = old
+        e_ref = xi.self_intersection_loss(verts, faces, segm=segm,
+                                          ign_table=tab)
+        np.testing.assert_allclose(np.asarray(e)[0], float(e_ref),
+                                   rtol=1e-6)
