@@ -237,6 +237,38 @@ class AmassRepresentationBuilder:
         return self._jitted(("lj", k), lambda jj: rep.local_joint_image(
             jj[:, :k], jj[0, :25]))(joints)
 
+    def gt_eval_data(self, clip: Clip, T: int):
+        """Ground-truth hooks for 3D-accuracy evaluation.
+
+        Returns (smplx_params_gt [T, 169], transf_matrix_smplx [4, 4]):
+        the GT parameter rows ``[transl(3) | global_orient(3) | betas(10)
+        | body_pose(63) | lhand(45) | rhand(45)]`` and the homogeneous
+        transform taking AMASS-world points into the canonical fitted
+        frame (frame-0 normalized + put-on-floor) — the reference
+        fitting loader's evaluation extras
+        (optimize_loader_amass_new.py:283-308, layout :300-302)."""
+        markers, joints = self.markers_and_joints(clip, T)
+
+        def xform(m, j):
+            R, origin = rep.frame0_normalizer(j[0, :25])
+            pm = jnp.concatenate([j[:, 0:1], m], axis=1)
+            pm_n = jnp.matmul(pm - origin, R)
+            # 'put on floor' shift, measured over pelvis+markers exactly
+            # like the Holden transform (optimize_loader_amass_new.py:219)
+            z_transl = pm_n[:, :, 2].min()
+            t1 = jnp.eye(4).at[0:3, 3].set(-origin)
+            t2 = jnp.eye(4).at[0:3, 0:3].set(R.T)
+            t3 = jnp.eye(4).at[2, 3].set(-z_transl)
+            return t3 @ t2 @ t1
+
+        transf = self._jitted("gt_transf", xform)(markers, joints)
+        p = _clip_params(clip, T)
+        params_gt = np.concatenate(
+            [p["transl"], p["global_orient"], p["betas"], p["body_pose"],
+             p["left_hand_pose"], p["right_hand_pose"]],
+            axis=-1).astype(np.float32)                       # [T, 169]
+        return params_gt, np.asarray(transf)
+
 
 def build_dataset(
     builder: AmassRepresentationBuilder,
@@ -244,16 +276,20 @@ def build_dataset(
     mode: str,
     clip_seconds: int = 4,
     smooth_forward: bool = True,
+    with_gt: bool = False,
 ):
     """Materialize the full clip-image tensor for a clip list.
 
     Returns (images, aux) where images is [N, T, d] for 'global_markers'
     or [N, 4, T-1, d] for 'local_markers_4chan'; aux carries rot_0_pivot,
     betas, gender per clip (the fitting loader's extras,
-    optimize_loader_amass_new.py:371-388).
+    optimize_loader_amass_new.py:371-388). With ``with_gt``, aux also
+    carries the 3D-accuracy hooks smplx_params_gt [N, T, 169] and
+    transf_matrix_smplx [N, 4, 4] (optimize_loader_amass_new.py:283-308).
     """
     T = clip_seconds * 30
     images, pivots, betas, genders = [], [], [], []
+    gt_params, gt_transf = [], []
     for clip in clips:
         if mode == "global_markers":
             img = builder.global_markers(clip, T)
@@ -276,12 +312,19 @@ def build_dataset(
         pivots.append(float(pivot))
         betas.append(clip.betas[:10])
         genders.append(1 if clip.gender == "male" else 0)
+        if with_gt:
+            pg, tf = builder.gt_eval_data(clip, T)
+            gt_params.append(pg)
+            gt_transf.append(tf)
     images = np.stack(images)
     aux = {
         "rot_0_pivot": np.asarray(pivots, np.float32),
         "betas": np.stack(betas).astype(np.float32),
         "gender": np.asarray(genders, np.int32),
     }
+    if with_gt:
+        aux["smplx_params_gt"] = np.stack(gt_params)
+        aux["transf_matrix_smplx"] = np.stack(gt_transf)
     return images, aux
 
 

