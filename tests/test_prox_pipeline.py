@@ -591,3 +591,41 @@ class TestAllTermsPipeline:
         # data + scene terms actually contribute energy
         for k in ("joint_loss", "s2m_dist", "m2s_dist", "contact_loss"):
             assert float(np.abs(th[k]).sum()) > 0, k
+
+
+class TestEvalProx:
+    def test_evaluate_recording_on_proxd_warm_starts(self, prox_base):
+        """eval_prox metrics on the synthetic PROXD pkls (GT + noise):
+        every metric present, in range, and the reprojection error small
+        because the warm starts ARE near the keypoint-generating body."""
+        base, info = prox_base
+        from lemo_tpu.cli.eval_prox import (evaluate_recording,
+                                            load_fitted_frames)
+        from lemo_tpu.fitting.prox.camera import PerspectiveCamera
+
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        names, params = load_fitted_frames(
+            os.path.join(rec.prox_params_dir, "results"))
+        assert len(names) == 24
+        from lemo_tpu.testing.synthetic_prox import CX, CY, FX, FY
+
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        camera = PerspectiveCamera(FX, FY, (CX, CY))
+        res = evaluate_recording(names, params, model, rec, camera,
+                                 chunk=16, keyp_folder=rec.keyp_folder)
+        assert res["frames"] == 24
+        assert 0.0 <= res["non_collision"] <= 1.0
+        assert 0.0 <= res["contact"] <= 1.0
+        assert np.isfinite(res["accel_m_s2"])
+        assert res["frames_with_detection"] == 24
+        # warm starts are GT + small noise -> reprojection within tens of px
+        assert res["reproj_err_px"] < 80.0
+
+    def test_eval_prox_cli_parser(self):
+        from lemo_tpu.cli.eval_prox import build_parser
+
+        a = build_parser().parse_args(
+            ["--fitting_dir", "/a", "--recording_dir", "/b",
+             "--body_model_path", "/c"])
+        assert a.contact_thresh == 0.02
