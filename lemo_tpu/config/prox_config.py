@@ -168,6 +168,10 @@ class ProxConfig:
     # sequential stitching semantics (fitting_temp_slide.py:283-289).
     # 0 disables the polish pass.
     window_polish_iters: int = 100
+    # overlap host-side loading of window i+1 (cv2 depth reads + scan
+    # unprojection) with the device fit of window i; warm-start pkls are
+    # still read only after the previous window saved (resume semantics)
+    prefetch_windows: bool = True
 
     def stage_weights(self, stage: int = 0) -> dict[str, float]:
         """Flatten the per-stage weight lists into a single-stage dict

@@ -337,7 +337,7 @@ class ProxWindowDataset:
                         "000.pkl")
         return read_prox_pkl(own if osp.exists(own) else prev)
 
-    def load_frame(self, idx: int) -> dict:
+    def load_frame(self, idx: int, with_warm_start: bool = True) -> dict:
         img_path = self.img_paths[idx]
         fn = self.frame_names[idx]
         keyp = read_keypoints(
@@ -371,12 +371,22 @@ class ProxWindowDataset:
             "scan": scan,
             "scan_point_num": n_pts,
             "marker_mask": self.marker_masks[min(idx, len(self.marker_masks) - 1)],
-            "warm_start": self._warm_start(fn),
+            "warm_start": self._warm_start(fn) if with_warm_start else None,
         }
 
-    def load_window(self, widx: int) -> dict:
+    def load_window(self, widx: int, with_warm_start: bool = True) -> dict:
+        """All host-side data for one window.
+
+        ``with_warm_start=False`` loads only the fit-independent parts
+        (keypoints, depth scans, masks) — safe to PREFETCH on a thread
+        while the previous window is still fitting. The warm starts must
+        be read after the previous window's pkls are on disk
+        (own-output-first resume, data_parser_slide.py:325-333); fetch
+        them separately via :meth:`load_window_warm_start`.
+        """
         start, end = self.windows[widx]
-        frames = [self.load_frame(i) for i in range(start, end)]
+        frames = [self.load_frame(i, with_warm_start=with_warm_start)
+                  for i in range(start, end)]
         out = {
             "fns": [f["fn"] for f in frames],
             "keypoints": np.stack([f["keypoints"] for f in frames]),
@@ -386,7 +396,17 @@ class ProxWindowDataset:
                  for f in frames]),
             "marker_mask": np.stack([f["marker_mask"] for f in frames]),
         }
-        ws_keys = frames[0]["warm_start"].keys()
-        out["warm_start"] = {
-            k: np.stack([f["warm_start"][k] for f in frames]) for k in ws_keys}
+        if with_warm_start:
+            ws_keys = frames[0]["warm_start"].keys()
+            out["warm_start"] = {k: np.stack([f["warm_start"][k]
+                                              for f in frames])
+                                 for k in ws_keys}
         return out
+
+    def load_window_warm_start(self, widx: int) -> dict:
+        """Stacked warm-start params for one window (own-output pkls
+        first, then the previous stage's)."""
+        start, end = self.windows[widx]
+        rows = [self._warm_start(self.frame_names[i])
+                for i in range(start, end)]
+        return {k: np.stack([r[k] for r in rows]) for k in rows[0]}

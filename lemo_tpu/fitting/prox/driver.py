@@ -434,9 +434,26 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
                                     verbose)
 
     window_fitter = None  # built from the first window, reused for all
+    # Host-side window loading (cv2 depth reads + scan unprojection,
+    # measured ~2-4 s/window) overlaps the previous window's device fit:
+    # the fit-independent parts prefetch on a thread, while the
+    # warm-start pkls are read ONLY after the previous window saved its
+    # results (own-output-first resume semantics must see them).
+    from concurrent.futures import ThreadPoolExecutor
+
+    prefetcher = ThreadPoolExecutor(max_workers=1) if cfg.prefetch_windows \
+        else None
+    fut = (prefetcher.submit(ds.load_window, 0, False)
+           if prefetcher else None)
     for widx in range(n_windows):
         t0 = time.time()
-        wd = ds.load_window(widx)
+        if prefetcher:
+            wd = fut.result()
+            if widx + 1 < n_windows:
+                fut = prefetcher.submit(ds.load_window, widx + 1, False)
+            wd["warm_start"] = ds.load_window_warm_start(widx)
+        else:
+            wd = ds.load_window(widx)
         warm = {k: jnp.asarray(v) for k, v in wd["warm_start"].items()}
 
         infill_result = None

@@ -629,3 +629,36 @@ class TestEvalProx:
             ["--fitting_dir", "/a", "--recording_dir", "/b",
              "--body_model_path", "/c"])
         assert a.contact_thresh == 0.02
+
+
+class TestWindowPrefetch:
+    def test_prefetch_matches_unprefetched(self, prox_base):
+        """Prefetching only moves fit-independent host loads onto a
+        thread; warm starts still read after the previous window saved.
+        Two-window fits with prefetch on/off must be identical."""
+        import dataclasses
+
+        base, info = prox_base
+        model = load_model(info["model_dict"], use_pca=True,
+                           num_pca_comps=12)
+        common = dict(
+            recording_dir=info["recording_dir"],
+            batch_size=16, maxiters=5, lr=0.005, flip=False,
+            s2m=False, m2s=False, read_depth=False, read_mask=False,
+            init_mode="none", sdf_penetration=False, use_friction=False,
+            use_motion_smooth_prior=False, interpenetration=False,
+            contact=False, use_motion_infill_prior=False,
+        )
+        outs = {}
+        for pf in (True, False):
+            cfg = ProxConfig(output_folder=tempfile.mkdtemp(),
+                             prefetch_windows=pf, **common)
+            assets = ProxAssets(model=model,
+                                vposer_params=info["vposer_params"])
+            outs[pf] = run_prox_fitting(cfg, assets, max_windows=2,
+                                        verbose=False)
+        for ra, rb in zip(outs[True], outs[False]):
+            assert ra.final_loss == rb.final_loss
+            for k in ra.params:
+                np.testing.assert_array_equal(np.asarray(ra.params[k]),
+                                              np.asarray(rb.params[k]))
