@@ -292,7 +292,13 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     from lemo_tpu.parallel import make_mesh
 
     t0 = time.time()
-    window_data = [ds.load_window(i) for i in range(n_windows)]
+    # all warm starts come from the previous stage's pkls here (no
+    # sequential dependence), so whole windows load concurrently —
+    # cv2/numpy release the GIL for the expensive parts
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        window_data = list(ex.map(ds.load_window, range(n_windows)))
     statics = [build_window_static(cfg, assets, rec, wd, jw)
                for wd in window_data]
     _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
