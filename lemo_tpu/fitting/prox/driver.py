@@ -439,6 +439,35 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
                                     weights, result_folder, n_windows,
                                     verbose)
 
+    warm_world_markers = None
+    if cfg.use_motion_infill_prior and assets.infill_ae_params:
+        # warm-start body -> world markers/joints for the infill
+        # pre-pass, jitted ONCE (same window shape every time; the old
+        # eager per-window forward cost dozens of dispatches each)
+        import jax
+
+        from lemo_tpu.body_model import make_forward_fn
+        from lemo_tpu.body_model import vposer as vp
+
+        fwd = make_forward_fn(model)
+        Rw, tw = rec.load_cam2world()
+        Rw, tw = jnp.asarray(Rw), jnp.asarray(tw)
+        ids67 = jnp.asarray(mk.marker_indices(False,
+                                              num_verts=model.num_verts))
+
+        @jax.jit
+        def warm_world_markers(warm):
+            params = {k: warm[k] for k in
+                      ("transl", "global_orient", "betas",
+                       "left_hand_pose", "right_hand_pose", "jaw_pose",
+                       "leye_pose", "reye_pose", "expression")}
+            params["body_pose"] = vp.decode(assets.vposer_params,
+                                            warm["pose_embedding"], "aa")
+            out = fwd(params, model.consts)
+            mv = out["vertices"] @ Rw.T + tw
+            mj = out["joints"][:, :25] @ Rw.T + tw
+            return mv[:, ids67], mj
+
     window_fitter = None  # built from the first window, reused for all
     # Host-side window loading (cv2 depth reads + scan unprojection,
     # measured ~2-4 s/window) overlaps the previous window's device fit:
@@ -464,24 +493,9 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
 
         infill_result = None
         if cfg.use_motion_infill_prior and assets.infill_ae_params:
-            from lemo_tpu.body_model import make_forward_fn
-            from lemo_tpu.body_model import vposer as vp
-            fwd = make_forward_fn(model)
-            body_pose = vp.decode(assets.vposer_params,
-                                  warm["pose_embedding"], "aa")
-            params = {k: warm[k] for k in
-                      ("transl", "global_orient", "betas", "left_hand_pose",
-                       "right_hand_pose", "jaw_pose", "leye_pose",
-                       "reye_pose", "expression")}
-            params["body_pose"] = body_pose
-            out = fwd(params, model.consts)
-            R, t = rec.load_cam2world()
-            mv = out["vertices"] @ jnp.asarray(R).T + jnp.asarray(t)
-            mj = out["joints"][:, :25] @ jnp.asarray(R).T + jnp.asarray(t)
-            ids67 = jnp.asarray(mk.marker_indices(False,
-                                                  num_verts=model.num_verts))
+            mv67, mj = warm_world_markers(warm)
             infill_result = run_infill_prepass(
-                assets.infill_ae_params, mv[:, ids67], mj,
+                assets.infill_ae_params, mv67, mj,
                 jnp.asarray(wd["marker_mask"]), assets.infill_stats)
 
         static = build_window_static(cfg, assets, rec, wd, jw, infill_result)
