@@ -476,8 +476,8 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
     # results (own-output-first resume semantics must see them).
     from concurrent.futures import ThreadPoolExecutor
 
-    prefetcher = ThreadPoolExecutor(max_workers=1) if cfg.prefetch_windows \
-        else None
+    prefetcher = ThreadPoolExecutor(max_workers=1) \
+        if (cfg.prefetch_windows and n_windows > 0) else None
     fut = (prefetcher.submit(ds.load_window, 0, False)
            if prefetcher else None)
     for widx in range(n_windows):
@@ -486,6 +486,8 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
             wd = fut.result()
             if widx + 1 < n_windows:
                 fut = prefetcher.submit(ds.load_window, widx + 1, False)
+            else:
+                prefetcher.shutdown(wait=False)
             wd["warm_start"] = ds.load_window_warm_start(widx)
         else:
             wd = ds.load_window(widx)
