@@ -122,8 +122,9 @@ def main(argv=None):
                   for g in ("male", "female")}
     fwds_fit = {g: jax.jit(make_forward_fn(m))
                 for g, m in models_fit.items()}
-    fwds_gt = {g: jax.jit(make_forward_fn(m))
-               for g, m in builder.models.items()}
+    # the builder already holds one jitted forward taking per-gender
+    # consts as a traced argument — reuse it for the GT side
+    fwds_gt = {g: builder._fwd for g in builder.models}
 
     any_model = next(iter(models_fit.values()))
     marker_ids = marker_indices(False, num_verts=any_model.num_verts)
@@ -140,11 +141,16 @@ def main(argv=None):
         cfn = os.path.join(folder, f"contact_lbl_rec_clip_{i}.npy")
         contact = np.load(cfn) if os.path.exists(cfn) else None
         gt169, transf = builder.gt_eval_data(clips[i], T)
-        g = clips[i].gender
-        g = g if g in models_fit else "male"
+        # fit side: the pipeline's convention (anything but "male" was
+        # fitted with the female model, build_dataset gender encoding);
+        # GT side: exactly the model builder.markers_and_joints used
+        g = "male" if clips[i].gender == "male" else "female"
+        g_gt = (clips[i].gender if clips[i].gender in builder.models
+                else next(iter(builder.models)))
         report["clips"][i] = evaluate_clip(
-            x72, contact, gt169, transf, models_fit[g], builder.models[g],
-            fwds_fit[g], fwds_gt[g], vposer_params, marker_ids, foot_ids)
+            x72, contact, gt169, transf, models_fit[g],
+            builder.models[g_gt], fwds_fit[g], fwds_gt[g_gt],
+            vposer_params, marker_ids, foot_ids)
         print(f"[clip {i}] marker mean "
               f"{report['clips'][i]['marker_error_m']['mean']:.4f} m, "
               f"MPJPE {report['clips'][i]['mpjpe_m']:.4f} m")

@@ -84,8 +84,9 @@ def evaluate_recording(names, params, model, rec, camera,
     try:
         sdf_np, grid_min, grid_max, _ = rec.load_sdf()
         sdf = jnp.asarray(sdf_np)
-    except Exception:
-        pass
+    except FileNotFoundError as e:
+        print(f"[eval_prox] scene SDF unavailable, skipping "
+              f"non_collision/contact: {e}")
 
     N = len(names)
     zeros = model.zero_params(min(chunk, N))
@@ -108,9 +109,12 @@ def evaluate_recording(names, params, model, rec, camera,
     res = {"frames": N}
 
     if sdf is not None:
+        # crop=None: the query set spans the WHOLE trajectory, which can
+        # exceed the fitting loss's single-window crop box — per-window
+        # cropping is exact there, full-grid sampling is exact here
         vals = np.asarray(sample_sdf_world(
-            sdf, jnp.asarray(verts_w.reshape(-1, 3)), grid_min, grid_max
-        )).reshape(N, -1)
+            sdf, jnp.asarray(verts_w.reshape(-1, 3)), grid_min, grid_max,
+            crop=None)).reshape(N, -1)
         res["non_collision"] = float((vals >= 0).mean())
         res["contact"] = float((vals.min(axis=1) < contact_thresh).mean())
 

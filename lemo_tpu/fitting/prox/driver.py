@@ -131,6 +131,12 @@ def load_assets(cfg: ProxConfig) -> ProxAssets:
     if cfg.interpenetration and cfg.part_segm_fn:
         faces_segm, ign_table = load_part_segm(
             cfg.part_segm_fn, model.faces, cfg.ign_part_pairs)
+    elif cfg.interpenetration and cfg.ign_part_pairs:
+        print("[lemo_tpu] interpenetration is on and ign_part_pairs is "
+              "set, but part_segm_fn is empty — part-pair filtering is "
+              "INERT; the term will penalize all overlapping pairs "
+              "(point part_segm_fn at smplx_parts_segm.pkl for "
+              "FilterFaces parity)")
     return ProxAssets(model=model, vposer_params=vposer_params,
                       smooth_enc_params=smooth_enc,
                       smooth_stats=smooth_stats,
@@ -468,7 +474,6 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
             mj = out["joints"][:, :25] @ Rw.T + tw
             return mv[:, ids67], mj
 
-    window_fitter = None  # built from the first window, reused for all
     # Host-side window loading (cv2 depth reads + scan unprojection,
     # measured ~2-4 s/window) overlaps the previous window's device fit:
     # the fit-independent parts prefetch on a thread, while the
@@ -480,14 +485,27 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
         if (cfg.prefetch_windows and n_windows > 0) else None
     fut = (prefetcher.submit(ds.load_window, 0, False)
            if prefetcher else None)
+    try:
+        return _fit_windows_sequential(
+            cfg, assets, rec, ds, jw, mapper, weights, result_folder,
+            n_windows, verbose, logger, results, warm_world_markers,
+            prefetcher, fut)
+    finally:
+        if prefetcher:
+            prefetcher.shutdown(wait=False, cancel_futures=True)
+
+
+def _fit_windows_sequential(cfg, assets, rec, ds, jw, mapper, weights,
+                            result_folder, n_windows, verbose, logger,
+                            results, warm_world_markers, prefetcher, fut):
+    model = assets.model
+    window_fitter = None  # built from the first window, reused for all
     for widx in range(n_windows):
         t0 = time.time()
         if prefetcher:
             wd = fut.result()
             if widx + 1 < n_windows:
                 fut = prefetcher.submit(ds.load_window, widx + 1, False)
-            else:
-                prefetcher.shutdown(wait=False)
             wd["warm_start"] = ds.load_window_warm_start(widx)
         else:
             wd = ds.load_window(widx)

@@ -187,12 +187,16 @@ def self_intersection_loss(
     return total
 
 
-# Narrow-phase implementation: "pallas" (the fused VMEM-resident kernel
-# in ops/intersection_pallas.py computes energy AND gradients in one
-# O(F^2) sweep with exact tile-sphere block skipping) or "dense" (the
-# XLA blockwise sweep above). Both compute identical masks/energy; the
-# dispatcher falls back to dense when part filtering needs > 32 parts
-# (the Pallas filter is a uint32 bitmask).
+# Narrow-phase implementation:
+#   'auto'   - 'pallas' on TPU, 'dense' elsewhere
+#   'pallas' - fused VMEM-resident kernel (ops/intersection_pallas.py):
+#              energy AND gradients in one O(F^2) sweep with exact
+#              tile-sphere block skipping (interpreter-mode on CPU)
+#   'dense'  - the XLA blockwise sweep above (default until the TPU A/B
+#              lands; scripts/ab_intersection_tpu.py)
+# Both compute identical masks/energy; the dispatcher falls back to
+# dense when part filtering needs > 32 parts (the Pallas filter is a
+# uint32 bitmask).
 INTERSECTION_IMPL = "dense"
 
 
@@ -207,7 +211,10 @@ def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,
     production scale (B=100, F=20946). Differentiability is preserved
     (lax.map is a scan; the inner step is already rematerialized).
     """
-    if INTERSECTION_IMPL == "pallas":
+    impl = INTERSECTION_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "dense"
+    if impl == "pallas":
         tab = kw.get("ign_table")
         if tab is None or tab.shape[0] <= 32:
             from lemo_tpu.ops.intersection_pallas import \

@@ -322,6 +322,12 @@ def self_intersection_loss_pallas(
         seg = jnp.asarray(segm, jnp.int32)
         # per-face uint32 bitmask of ignored partner parts
         P = ign_table.shape[0]
+        if P > 32:
+            raise ValueError(
+                f"part filter has {P} parts; the Pallas bitmask supports "
+                "<= 32 — use ops.intersection.self_intersection_loss (the "
+                "batched_self_intersection dispatcher falls back "
+                "automatically)")
         weights = (jnp.asarray(ign_table, jnp.int32) *
                    (1 << jnp.arange(P, dtype=jnp.int32))[None, :]).sum(1)
         bits = weights[seg]
