@@ -11,9 +11,9 @@ Inside ONE Pallas program the same serial walk is ~2k VPU instructions
 on [1, B] rows with no op dispatch between them.
 
 Layout: rotation/translation PLANES [9, Jp, B] / [3, Jp, B] — joints on
-sublanes (one row per joint), batch on lanes (B <= 128 per kernel call;
-larger batches are chunked by the wrapper). All buffers are a few
-hundred KB — everything lives in VMEM.
+sublanes (one row per joint), batch on lanes, padded to a multiple of
+128 (wider batches simply span multiple lane tiles). All buffers are a
+few hundred KB — everything lives in VMEM.
 
 The wrapper `rigid_transform_chain_pallas` matches
 `lbs.rigid_transform_chain_level` exactly (same contract, f32) and is

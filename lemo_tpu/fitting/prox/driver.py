@@ -282,6 +282,37 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
     return st
 
 
+def _make_warm_world_markers(assets, rec):
+    """Jitted warm-start body -> (world 67-markers, world 25-joints) for
+    the infill pre-pass (one compile per recording; the eager per-window
+    forward cost dozens of dispatches each)."""
+    import jax
+
+    from lemo_tpu.body_model import make_forward_fn
+    from lemo_tpu.body_model import vposer as vp
+
+    model = assets.model
+    fwd = make_forward_fn(model)
+    Rw, tw = rec.load_cam2world()
+    Rw, tw = jnp.asarray(Rw), jnp.asarray(tw)
+    ids67 = jnp.asarray(mk.marker_indices(False, num_verts=model.num_verts))
+
+    @jax.jit
+    def warm_world_markers(warm):
+        params = {k: warm[k] for k in
+                  ("transl", "global_orient", "betas",
+                   "left_hand_pose", "right_hand_pose", "jaw_pose",
+                   "leye_pose", "reye_pose", "expression")}
+        params["body_pose"] = vp.decode(assets.vposer_params,
+                                        warm["pose_embedding"], "aa")
+        out = fwd(params, model.consts)
+        mv = out["vertices"] @ Rw.T + tw
+        mj = out["joints"][:, :25] @ Rw.T + tw
+        return mv[:, ids67], mj
+
+    return warm_world_markers
+
+
 def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                          result_folder, n_windows, verbose):
     """All windows fitted concurrently, window axis sharded over the
@@ -305,8 +336,21 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
 
     with ThreadPoolExecutor(max_workers=8) as ex:
         window_data = list(ex.map(ds.load_window, range(n_windows)))
-    statics = [build_window_static(cfg, assets, rec, wd, jw)
-               for wd in window_data]
+    # S3: the infill pre-pass runs per window from the warm starts (the
+    # parallel path has no sequential dependence — all warm starts come
+    # from the previous stage's pkls)
+    infill_results = [None] * n_windows
+    if cfg.use_motion_infill_prior and assets.infill_ae_params:
+        warm_world_markers = _make_warm_world_markers(assets, rec)
+        for i, wd in enumerate(window_data):
+            warm_i = {k: jnp.asarray(v)
+                      for k, v in wd["warm_start"].items()}
+            mv67, mj = warm_world_markers(warm_i)
+            infill_results[i] = run_infill_prepass(
+                assets.infill_ae_params, mv67, mj,
+                jnp.asarray(wd["marker_mask"]), assets.infill_stats)
+    statics = [build_window_static(cfg, assets, rec, wd, jw, ir)
+               for wd, ir in zip(window_data, infill_results)]
     _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
                    "marker_mask", "infill_targets", "infill_contact_lbl",
                    "sdf_candidate_ids"}
@@ -369,6 +413,18 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
             loss_hists[widx] = np.concatenate(
                 [loss_hists[widx], np.asarray(p_losses)])
 
+    # final-params term values (one jitted eval per window): the batched
+    # fitter tracks only the total loss per step, so the per-term record
+    # is a length-1 history at the solution — enough for observability
+    # and finiteness checks without hauling [W, S, n_terms] off device
+    from lemo_tpu.body_model import make_forward_fn
+    from lemo_tpu.fitting.prox.losses import make_prox_loss
+
+    term_eval = jax.jit(make_prox_loss(
+        make_forward_fn(assets.model), assets.model.consts, mapper,
+        assets.vposer_params, statics[0], weights,
+        assets.model.config.num_expressions))
+
     results = []
     for widx in range(n_windows):
         final = sols[widx]
@@ -378,12 +434,16 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                      if k != "pose_embedding"}
         params_np["betas"] = np.asarray(betas[widx])
         params_np["body_pose"] = np.asarray(body_pose)
+        _, final_terms = term_eval(final, betas[widx], statics[widx])
         result = WindowResult(
             params=params_np,
             pose_embedding=np.asarray(final["pose_embedding"]),
             body_pose=np.asarray(body_pose),
             final_loss=float(loss_hists[widx][-1]),
             loss_history=loss_hists[widx],
+            term_history={k: np.asarray(v)[None]
+                          for k, v in final_terms.items()
+                          if hasattr(v, "shape") or isinstance(v, float)},
         )
         save_window_pkls(result, window_data[widx]["fns"], result_folder)
         results.append(result)
@@ -447,32 +507,7 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
 
     warm_world_markers = None
     if cfg.use_motion_infill_prior and assets.infill_ae_params:
-        # warm-start body -> world markers/joints for the infill
-        # pre-pass, jitted ONCE (same window shape every time; the old
-        # eager per-window forward cost dozens of dispatches each)
-        import jax
-
-        from lemo_tpu.body_model import make_forward_fn
-        from lemo_tpu.body_model import vposer as vp
-
-        fwd = make_forward_fn(model)
-        Rw, tw = rec.load_cam2world()
-        Rw, tw = jnp.asarray(Rw), jnp.asarray(tw)
-        ids67 = jnp.asarray(mk.marker_indices(False,
-                                              num_verts=model.num_verts))
-
-        @jax.jit
-        def warm_world_markers(warm):
-            params = {k: warm[k] for k in
-                      ("transl", "global_orient", "betas",
-                       "left_hand_pose", "right_hand_pose", "jaw_pose",
-                       "leye_pose", "reye_pose", "expression")}
-            params["body_pose"] = vp.decode(assets.vposer_params,
-                                            warm["pose_embedding"], "aa")
-            out = fwd(params, model.consts)
-            mv = out["vertices"] @ Rw.T + tw
-            mj = out["joints"][:, :25] @ Rw.T + tw
-            return mv[:, ids67], mj
+        warm_world_markers = _make_warm_world_markers(assets, rec)
 
     # Host-side window loading (cv2 depth reads + scan unprojection,
     # measured ~2-4 s/window) overlaps the previous window's device fit:

@@ -518,79 +518,104 @@ class TestSdfCandidates:
         assert len(set(ids2.tolist())) == model.num_verts
 
 
+ALL_TERM_KEYS = ["joint_loss", "pprior_loss", "shape_loss",
+                 "angle_prior_loss", "s2m_dist", "m2s_dist",
+                 "sdf_penetration_loss", "loss_fric_tangent",
+                 "loss_fric_normal", "contact_loss",
+                 "self_penetration_loss", "motion_prior_smooth_loss",
+                 "motion_infill_loss"]
+
+
+def _all_terms_setup(info, **cfg_overrides):
+    """(cfg, assets) with EVERY loss family enabled (the
+    cfg_files/PROXD_temp_S3_all_terms.yaml shape on synthetic assets)."""
+    import jax as _jax
+
+    from lemo_tpu.data.stats import Local4ChanStats
+    from lemo_tpu.fitting.prox.driver import load_part_segm
+    from lemo_tpu.priors.conv_ae import init_infill_ae
+    from lemo_tpu.testing.synthetic import write_part_segm_pkl
+
+    model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    segm_fn = os.path.join(tempfile.mkdtemp(), "parts_segm.pkl")
+    write_part_segm_pkl(segm_fn, np.asarray(model.faces), num_parts=4)
+    faces_segm, ign_table = load_part_segm(segm_fn, model.faces, ["0,3"])
+
+    if os.path.exists(REF_ENC):
+        enc = load_torch_state_dict(REF_ENC)
+        smooth_stats = GlobalStats.load(
+            "/root/reference/preprocess_stats/"
+            "preprocess_stats_smooth_withHand_global_markers.npz")
+    else:
+        enc = init_smooth_enc(jax.random.PRNGKey(0))
+        smooth_stats = GlobalStats(np.zeros((1, 1, 243)), np.ones(243))
+    asset_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "lemo_tpu", "assets")
+    infill_stats = Local4ChanStats.load(
+        os.path.join(asset_dir, "infill_stats.npz"))
+
+    kw = dict(
+        recording_dir=info["recording_dir"],
+        output_folder=tempfile.mkdtemp(),
+        batch_size=16, maxiters=6, lr=0.005, flip=False,
+        init_mode="none",
+        s2m=True, m2s=True, read_depth=True, read_mask=True,
+        s2m_weights=[5e2], m2s_weights=[1.0],
+        sdf_penetration=True, use_friction=True,
+        use_motion_smooth_prior=True,
+        motion_prior_smooth_weights=[1e2],
+        use_motion_infill_prior=True,
+        motion_infill_rec_weights=[2.0],
+        motion_infill_contact_weights=[0.1],
+        interpenetration=True, coll_loss_weights=[1e-5],
+        contact=True, contact_loss_weights=[1.0],
+    )
+    kw.update(cfg_overrides)
+    cfg = ProxConfig(**kw)
+    assets = ProxAssets(
+        model=model, vposer_params=info["vposer_params"],
+        smooth_enc_params=enc, smooth_stats=smooth_stats,
+        infill_ae_params=init_infill_ae(_jax.random.PRNGKey(2),
+                                        in_channel=4),
+        infill_stats=infill_stats,
+        faces_segm=faces_segm, ign_table=ign_table)
+    return cfg, assets
+
+
 class TestAllTermsPipeline:
     def test_every_loss_family_composes(self, prox_base):
         """All 11 loss families live in ONE fit (the reference ships
         s2m/m2s/contact/interpenetration off because of their CUDA-stack
         cost; cfg_files/PROXD_temp_S3_all_terms.yaml turns everything on).
         Every term must be finite and engaged, and the fit must improve."""
-        import jax as _jax
-
-        from lemo_tpu.data.stats import Local4ChanStats
-        from lemo_tpu.fitting.prox.driver import load_part_segm
-        from lemo_tpu.priors.conv_ae import init_infill_ae
-        from lemo_tpu.testing.synthetic import write_part_segm_pkl
-
         base, info = prox_base
-        model = load_model(info["model_dict"], use_pca=True,
-                           num_pca_comps=12)
-        segm_fn = os.path.join(tempfile.mkdtemp(), "parts_segm.pkl")
-        write_part_segm_pkl(segm_fn, np.asarray(model.faces), num_parts=4)
-        faces_segm, ign_table = load_part_segm(segm_fn, model.faces,
-                                               ["0,3"])
-
-        if os.path.exists(REF_ENC):
-            enc = load_torch_state_dict(REF_ENC)
-            smooth_stats = GlobalStats.load(
-                "/root/reference/preprocess_stats/"
-                "preprocess_stats_smooth_withHand_global_markers.npz")
-        else:
-            enc = init_smooth_enc(jax.random.PRNGKey(0))
-            smooth_stats = GlobalStats(np.zeros((1, 1, 243)),
-                                       np.ones(243))
-        asset_dir = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "lemo_tpu", "assets")
-        infill_stats = Local4ChanStats.load(
-            os.path.join(asset_dir, "infill_stats.npz"))
-
-        cfg = ProxConfig(
-            recording_dir=info["recording_dir"],
-            output_folder=tempfile.mkdtemp(),
-            batch_size=16, maxiters=6, lr=0.005, flip=False,
-            init_mode="none",
-            s2m=True, m2s=True, read_depth=True, read_mask=True,
-            s2m_weights=[5e2], m2s_weights=[1.0],
-            sdf_penetration=True, use_friction=True,
-            use_motion_smooth_prior=True,
-            motion_prior_smooth_weights=[1e2],
-            use_motion_infill_prior=True,
-            motion_infill_rec_weights=[2.0],
-            motion_infill_contact_weights=[0.1],
-            interpenetration=True, coll_loss_weights=[1e-5],
-            contact=True, contact_loss_weights=[1.0],
-        )
-        assets = ProxAssets(
-            model=model, vposer_params=info["vposer_params"],
-            smooth_enc_params=enc, smooth_stats=smooth_stats,
-            infill_ae_params=init_infill_ae(_jax.random.PRNGKey(2),
-                                            in_channel=4),
-            infill_stats=infill_stats,
-            faces_segm=faces_segm, ign_table=ign_table)
+        cfg, assets = _all_terms_setup(info)
         res = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)[0]
         assert np.isfinite(res.final_loss)
         assert res.loss_history[-1] < res.loss_history[0]
         th = res.term_history
-        engaged = ["joint_loss", "pprior_loss", "shape_loss",
-                   "angle_prior_loss", "s2m_dist", "m2s_dist",
-                   "sdf_penetration_loss", "loss_fric_tangent",
-                   "loss_fric_normal", "contact_loss",
-                   "self_penetration_loss", "motion_prior_smooth_loss",
-                   "motion_infill_loss"]
-        for k in engaged:
+        for k in ALL_TERM_KEYS:
             assert np.isfinite(th[k]).all(), k
         # data + scene terms actually contribute energy
         for k in ("joint_loss", "s2m_dist", "m2s_dist", "contact_loss"):
             assert float(np.abs(th[k]).sum()) > 0, k
+
+    def test_all_terms_window_parallel(self, prox_base):
+        """The flagship multi-chip path (window axis sharded over the
+        mesh) composes with EVERY loss family — infill targets, part
+        filtering, depth Chamfer, and contact all thread through the
+        batched window fitter."""
+        base, info = prox_base
+        cfg, assets = _all_terms_setup(
+            info, window_parallel=True, window_polish_iters=4,
+            batch_size=12, maxiters=5)
+        results = run_prox_fitting(cfg, assets, max_windows=2,
+                                   verbose=False)
+        assert len(results) == 2
+        for res in results:
+            assert np.isfinite(res.final_loss)
+            for k in ALL_TERM_KEYS:
+                assert np.isfinite(res.term_history[k]).all(), k
 
 
 class TestEvalProx:
