@@ -282,6 +282,16 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
     return st
 
 
+_CAMERA_PKL_PARAMS = {
+    # the PROX camera's pose parameters are frozen at identity/zero
+    # (main_slide.py:192-193; extrinsics live in cam2world) — the
+    # reference still serializes them per frame
+    # (fit_temp_loadprox_slide.py:577-580)
+    "rotation": np.eye(3, dtype=np.float32),
+    "translation": np.zeros(3, np.float32),
+}
+
+
 def _make_warm_world_markers(assets, rec):
     """Jitted warm-start body -> (world 67-markers, world 25-joints) for
     the infill pre-pass (one compile per recording; the eager per-window
@@ -445,7 +455,8 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                           for k, v in final_terms.items()
                           if hasattr(v, "shape") or isinstance(v, float)},
         )
-        save_window_pkls(result, window_data[widx]["fns"], result_folder)
+        save_window_pkls(result, window_data[widx]["fns"], result_folder,
+                         camera_params=_CAMERA_PKL_PARAMS)
         results.append(result)
     if verbose:
         print(f"[window-parallel] {n_windows} windows on "
@@ -566,7 +577,8 @@ def _fit_windows_sequential(cfg, assets, rec, ds, jw, mapper, weights,
             model, assets.vposer_params, mapper, static, weights,
             warm, first_window=(widx == 0),
             maxiters=cfg.maxiters, lr=cfg.lr, fitter=window_fitter)
-        save_window_pkls(result, wd["fns"], result_folder)
+        save_window_pkls(result, wd["fns"], result_folder,
+                         camera_params=_CAMERA_PKL_PARAMS)
         results.append(result)
         # per-term optimizer scalars, as the reference logs each closure
         # call to tensorboard (fitting_temp_slide.py:293-307)
