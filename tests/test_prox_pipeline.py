@@ -687,3 +687,22 @@ class TestWindowPrefetch:
             for k in ra.params:
                 np.testing.assert_array_equal(np.asarray(ra.params[k]),
                                               np.asarray(rb.params[k]))
+
+
+def test_result_pkls_carry_camera_params():
+    """Reference schema parity: each result pkl serializes the frozen
+    camera pose params (fit_temp_loadprox_slide.py:577-580)."""
+    import pickle
+
+    from lemo_tpu.fitting.prox.driver import _CAMERA_PKL_PARAMS
+    from lemo_tpu.fitting.prox.window import WindowResult, save_window_pkls
+
+    r = WindowResult(params={"transl": np.zeros((2, 3))},
+                     pose_embedding=np.zeros((2, 32)),
+                     body_pose=np.zeros((2, 63)),
+                     final_loss=0.0, loss_history=np.zeros(1))
+    paths = save_window_pkls(r, ["f1", "f2"], tempfile.mkdtemp(),
+                             camera_params=_CAMERA_PKL_PARAMS)
+    rec = pickle.load(open(paths[0], "rb"))
+    assert rec["camera_rotation"].shape == (1, 3, 3)
+    assert rec["camera_translation"].shape == (1, 3)
