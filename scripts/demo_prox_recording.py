@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--maxiters", type=int, default=900)
     ap.add_argument("--batch_size", type=int, default=100)
     ap.add_argument("--full_size_model", action="store_true", default=True)
+    ap.add_argument("--small_model", dest="full_size_model",
+                    action="store_false",
+                    help="fit with the recording's own small synthetic "
+                         "model (CPU-mesh smoke tests)")
     ap.add_argument("--windows", type=int, default=None)
     ap.add_argument("--window_parallel", action="store_true",
                     help="fit all windows concurrently (multi-chip mode)")
@@ -41,6 +45,13 @@ def main():
     ap.add_argument("--sdf_candidates", type=int, default=0,
                     help="sample the penetration term only at the K "
                          "warm-start-nearest-to-scene vertices (0 = all)")
+    ap.add_argument("--all_terms", action="store_true",
+                    help="enable EVERY loss family (adds depth s2m/m2s, "
+                         "scene contact, self-interpenetration — the "
+                         "cfg_files/PROXD_temp_S3_all_terms.yaml shape)")
+    ap.add_argument("--intersection_impl", type=str, default="",
+                    choices=["", "dense", "pallas", "auto"],
+                    help="override ops.intersection.INTERSECTION_IMPL")
     args = ap.parse_args()
 
     import jax
@@ -57,11 +68,17 @@ def main():
         write_synthetic_prox_recording
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    if args.intersection_impl:
+        from lemo_tpu.ops import intersection as _xi
+
+        _xi.INTERSECTION_IMPL = args.intersection_impl
+
     base = tempfile.mkdtemp(prefix="prox_demo_")
     t0 = time.time()
     # generate with a small model for speed; fit with the full-size mesh
     info = write_synthetic_prox_recording(base, num_frames=args.frames,
-                                          seed=11, write_depth=False)
+                                          seed=11,
+                                          write_depth=args.all_terms)
     t_gen = time.time() - t0
     print(f"recording generated: {args.frames} frames in {t_gen:.0f}s",
           file=sys.stderr)
@@ -82,26 +99,47 @@ def main():
         enc = init_smooth_enc(jax.random.PRNGKey(0))
         stats = GlobalStats(np.zeros((1, 1, 243)), np.ones(243))
 
+    extra = {}
+    if args.all_terms:
+        extra = dict(
+            s2m=True, m2s=True, read_depth=True, read_mask=True,
+            s2m_weights=[5e2], m2s_weights=[1.0],
+            contact=True, contact_loss_weights=[1.0],
+            interpenetration=True, coll_loss_weights=[1e-5],
+        )
     cfg = ProxConfig(
         recording_dir=info["recording_dir"],
         output_folder=os.path.join(base, "fit_out"),
         batch_size=args.batch_size, maxiters=args.maxiters, lr=0.005,
-        flip=False, s2m=False, m2s=False, read_depth=False, read_mask=False,
-        sdf_penetration=True, use_friction=True,
-        use_motion_smooth_prior=True, interpenetration=False,
-        contact=False, use_motion_infill_prior=args.s3,
+        flip=False, sdf_penetration=True, use_friction=True,
+        use_motion_smooth_prior=True,
+        use_motion_infill_prior=args.s3 or args.all_terms,
         motion_infill_rec_weights=[2.0], motion_infill_contact_weights=[0.1],
         window_parallel=args.window_parallel,
         sdf_packed=not args.exact_sdf, sdf_fp8=args.fp8_sdf,
         sdf_candidates=args.sdf_candidates,
+        **(extra or dict(s2m=False, m2s=False, read_depth=False,
+                         read_mask=False, interpenetration=False,
+                         contact=False)),
     )
     # NOTE: the fit model is the generator's model when not full-size so
     # keypoints correspond; with full_size we fit the big mesh to the
     # small-body keypoints — throughput-representative, not accuracy.
     if not args.full_size_model:
         model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    faces_segm = ign_table = None
+    if args.all_terms:
+        from lemo_tpu.fitting.prox.driver import load_part_segm
+        from lemo_tpu.testing.synthetic import write_part_segm_pkl
+
+        segm_fn = os.path.join(base, "parts_segm.pkl")
+        write_part_segm_pkl(segm_fn, np.asarray(model.faces), num_parts=27)
+        faces_segm, ign_table = load_part_segm(
+            segm_fn, model.faces,
+            ["9,16", "9,17", "6,16", "6,17", "1,2", "12,22"])
+
     infill_ae = infill_stats = None
-    if args.s3:
+    if args.s3 or args.all_terms:
         infill_ae = init_infill_ae(jax.random.PRNGKey(2))
         try:
             infill_stats = Local4ChanStats.load(
@@ -117,7 +155,8 @@ def main():
     assets = ProxAssets(model=model, vposer_params=info["vposer_params"],
                         smooth_enc_params=enc, smooth_stats=stats,
                         infill_ae_params=infill_ae,
-                        infill_stats=infill_stats)
+                        infill_stats=infill_stats,
+                        faces_segm=faces_segm, ign_table=ign_table)
 
     t1 = time.time()
     results = run_prox_fitting(cfg, assets, max_windows=args.windows,
