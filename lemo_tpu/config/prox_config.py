@@ -155,6 +155,39 @@ class ProxConfig:
         default_factory=lambda: [2.0])
     motion_infill_contact_weights: list = dataclasses.field(
         default_factory=lambda: [0.1])
+    # frame selection (data_parser_slide.py:188-191; frame_ids are
+    # 1-based and win over start/step)
+    start: int = 0
+    step: int = 1
+    frame_ids: list | None = None
+    # camera init (fitting_temp_slide.py guess_init /
+    # SMPLifyCameraInitLoss; cmd_parser defaults)
+    init_joints_idxs: list = dataclasses.field(
+        default_factory=lambda: [9, 12, 2, 5])
+    body_tri_idxs: list = dataclasses.field(
+        default_factory=lambda: [[5, 12], [2, 9]])
+    camera_type: str = "persp"     # create_camera: 'persp' only
+    loss_type: str = "smplify"     # create_loss: 'smplify' only
+    # accepted for reference-CLI compatibility; inherited from SMPLify-X
+    # and never consumed by LEMO's temp_prox pipeline (cmd_parser.py
+    # declares them, fit_temp_loadprox_slide never reads them)
+    point2plane: bool = False
+    contact_angle: float = 45.0
+    rho_contact: float = 1.0
+    optim_shape: bool = True
+    optim_hands: bool = True
+    optim_expression: bool = True
+    optim_jaw: bool = True
+    gender_lbl_type: str = "none"
+    max_persons: int = 3
+    side_view_thsh: float = 25.0
+    degrees: list = dataclasses.field(
+        default_factory=lambda: [0, 90, 180, 270])
+    depth_loss_weight: float = 1e2
+    visualize: bool = False
+    viz_mode: str = "o3d"
+    mesh_folder: str = "meshes"
+    summary_folder: str = "summaries"
     # misc
     result_folder: str = "results"
     num_stages: int | None = None
@@ -259,7 +292,10 @@ def parse_config(argv: list[str] | None = None) -> ProxConfig:
                 j += 1
             if key in fields:
                 cur = getattr(cfg, key)
-                if isinstance(cur, bool):
+                if key == "frame_ids":
+                    # None-default list field: --frame_ids 1 2 3
+                    setattr(cfg, key, [int(float(v)) for v in vals])
+                elif isinstance(cur, bool):
                     setattr(cfg, key, _coerce(vals[0] if vals else "true", bool))
                 elif isinstance(cur, list):
                     setattr(cfg, key, [float(v) if _is_number(v) else v

@@ -290,7 +290,8 @@ class ProxWindowDataset:
                  read_depth: bool = True, read_mask: bool = True,
                  mask_on_color: bool = True, depth_scale: float = 1e-3,
                  flip: bool = True, use_hands: bool = True,
-                 use_face: bool = True, joints_to_ign=(1, 9, 12)):
+                 use_face: bool = True, joints_to_ign=(1, 9, 12),
+                 start: int = 0, step: int = 1, frame_ids=None):
         self.rec = rec
         self.batch_size = batch_size
         self.flip = flip
@@ -310,11 +311,25 @@ class ProxWindowDataset:
         self.img_paths = sorted(
             osp.join(self.img_folder, f) for f in os.listdir(self.img_folder)
             if f.endswith((".png", ".jpg")) and not f.startswith("."))
+        # frame selection (data_parser_slide.py:188-191): explicit 1-based
+        # frame_ids win over start/step slicing
+        if frame_ids is not None and len(frame_ids):
+            sel = [int(i) - 1 for i in frame_ids]
+        else:
+            sel = list(range(int(start), len(self.img_paths),
+                             max(int(step), 1)))
+        self.img_paths = [self.img_paths[i] for i in sel]
         self.frame_names = [osp.splitext(osp.basename(p))[0]
                             for p in self.img_paths]
         mask_path = osp.join(rec.marker_mask_dir, "mask_markers.npy")
         if osp.exists(mask_path):
-            self.marker_masks = np.load(mask_path).astype(np.float32)
+            masks = np.load(mask_path).astype(np.float32)
+            # the per-frame occlusion mask follows the SAME selection so
+            # masks stay frame-aligned (the reference indexes the unsliced
+            # mask with post-slice window positions, silently misaligning
+            # when start/step/frame_ids are non-default)
+            self.marker_masks = (masks[sel] if len(masks) > max(sel, default=0)
+                                 else masks)
         else:
             self.marker_masks = np.ones((len(self.img_paths), 67), np.float32)
         self.windows = sliding_windows(len(self.img_paths), batch_size)

@@ -346,19 +346,29 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
 
     with ThreadPoolExecutor(max_workers=8) as ex:
         window_data = list(ex.map(ds.load_window, range(n_windows)))
-    # S3: the infill pre-pass runs per window from the warm starts (the
-    # parallel path has no sequential dependence — all warm starts come
-    # from the previous stage's pkls)
+    # S3: the infill pre-pass runs from the warm starts (the parallel
+    # path has no sequential dependence — all warm starts come from the
+    # previous stage's pkls), batched over the window axis: one vmapped
+    # warm-start forward + one vmapped 60-step AE finetune dispatch for
+    # the whole recording instead of W sequential ones
     infill_results = [None] * n_windows
     if cfg.use_motion_infill_prior and assets.infill_ae_params:
+        from lemo_tpu.fitting.prox.infill_prepass import (
+            InfillPrepassResult, make_batched_prepass)
+
         warm_world_markers = _make_warm_world_markers(assets, rec)
-        for i, wd in enumerate(window_data):
-            warm_i = {k: jnp.asarray(v)
-                      for k, v in wd["warm_start"].items()}
-            mv67, mj = warm_world_markers(warm_i)
-            infill_results[i] = run_infill_prepass(
-                assets.infill_ae_params, mv67, mj,
-                jnp.asarray(wd["marker_mask"]), assets.infill_stats)
+        warm_stack = {k: jnp.stack([jnp.asarray(wd["warm_start"][k])
+                                    for wd in window_data])
+                      for k in window_data[0]["warm_start"]}
+        mv67, mj = jax.vmap(warm_world_markers)(warm_stack)
+        masks = np.stack([wd["marker_mask"] for wd in window_data])
+        tw, cl = make_batched_prepass(assets.infill_stats)(
+            assets.infill_ae_params, mv67, mj, jnp.asarray(masks))
+        infill_results = [
+            InfillPrepassResult(
+                targets_world=tw[i], contact_lbl=cl[i],
+                had_occlusion=bool(masks[i].size > masks[i].sum()))
+            for i in range(n_windows)]
     statics = [build_window_static(cfg, assets, rec, wd, jw, ir)
                for wd, ir in zip(window_data, infill_results)]
     _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
@@ -383,11 +393,17 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
         assets.model, assets.vposer_params, mapper, statics[0], weights,
         maxiters=cfg.maxiters, lr=cfg.lr, mesh=mesh,
         steps_per_dispatch=cfg.steps_per_dispatch)
-    opt_vars, betas, losses = fitter(static_batch, warm, first_mask)
+    opt_vars, betas, losses, batch_terms = fitter(
+        static_batch, warm, first_mask)
 
     sols = [{k: v[widx] for k, v in opt_vars.items()}
             for widx in range(n_windows)]
     loss_hists = [np.asarray(losses[widx]) for widx in range(n_windows)]
+    # per-window final-terms record (term name -> [1] history); windows
+    # re-fit by the polish pass below overwrite theirs with the polish
+    # fitter's last-step terms
+    term_hists = [{k: v[widx:widx + 1] for k, v in batch_terms.items()}
+                  for widx in range(n_windows)]
 
     # Sequential-polish pass: the parallel fit's overlap-frozen head
     # frames kept their warm-start values, not the previous window's
@@ -417,24 +433,17 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                     if k != "betas":
                         prox_params[k] = v.at[:ov_n].set(
                             prev[k][off:off + ov_n])
-            final, p_losses, _terms, _betas = pfitter(
+            final, p_losses, p_terms, _betas = pfitter(
                 statics[widx], prox_params, first_window=False)
             sols[widx] = final
             loss_hists[widx] = np.concatenate(
                 [loss_hists[widx], np.asarray(p_losses)])
+            term_hists[widx] = {k: np.asarray(v)[-1:]
+                                for k, v in p_terms.items()}
 
-    # final-params term values (one jitted eval per window): the batched
-    # fitter tracks only the total loss per step, so the per-term record
-    # is a length-1 history at the solution — enough for observability
-    # and finiteness checks without hauling [W, S, n_terms] off device
-    from lemo_tpu.body_model import make_forward_fn
-    from lemo_tpu.fitting.prox.losses import make_prox_loss
-
-    term_eval = jax.jit(make_prox_loss(
-        make_forward_fn(assets.model), assets.model.consts, mapper,
-        assets.vposer_params, statics[0], weights,
-        assets.model.config.num_expressions))
-
+    # the per-term record is a length-1 history at the solution (from the
+    # fitter's final chunk eval) — enough for observability and
+    # finiteness checks without hauling [W, S, n_terms] off device
     results = []
     for widx in range(n_windows):
         final = sols[widx]
@@ -444,16 +453,14 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                      if k != "pose_embedding"}
         params_np["betas"] = np.asarray(betas[widx])
         params_np["body_pose"] = np.asarray(body_pose)
-        _, final_terms = term_eval(final, betas[widx], statics[widx])
         result = WindowResult(
             params=params_np,
             pose_embedding=np.asarray(final["pose_embedding"]),
             body_pose=np.asarray(body_pose),
             final_loss=float(loss_hists[widx][-1]),
             loss_history=loss_hists[widx],
-            term_history={k: np.asarray(v)[None]
-                          for k, v in final_terms.items()
-                          if hasattr(v, "shape") or isinstance(v, float)},
+            term_history={k: np.asarray(v)
+                          for k, v in term_hists[widx].items()},
         )
         save_window_pkls(result, window_data[widx]["fns"], result_folder,
                          camera_params=_CAMERA_PKL_PARAMS)
@@ -501,7 +508,9 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
                                        cfg.init_mode == "scan"),
         read_mask=cfg.read_mask, mask_on_color=cfg.mask_on_color,
         flip=cfg.flip, use_hands=cfg.use_hands, use_face=cfg.use_face,
-        joints_to_ign=cfg.joints_to_ign)
+        joints_to_ign=cfg.joints_to_ign,
+        start=getattr(cfg, "start", 0), step=getattr(cfg, "step", 1),
+        frame_ids=getattr(cfg, "frame_ids", None))
     jw = ds.joint_weights()
     mapper = smpl_to_openpose(cfg.model_type, cfg.use_hands, cfg.use_face,
                               cfg.use_face_contour)

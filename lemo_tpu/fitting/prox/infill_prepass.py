@@ -62,15 +62,15 @@ def marker_mask_to_image_mask(marker_mask: jnp.ndarray, d: int, Tm1: int):
     return jnp.concatenate([pelvis, mm, contact_rows], axis=0)  # [208, T-1]
 
 
-def run_infill_prepass(
-    ae_params: dict,
-    markers_world: jnp.ndarray,   # [T, 67, 3] from the warm-start body
-    joints_world: jnp.ndarray,    # [T, 25, 3]
-    marker_mask: jnp.ndarray,     # [T, 67]
-    stats: Local4ChanStats,
-    finetune_steps: int = 60,
-    finetune_lr: float = 3e-6,
-) -> InfillPrepassResult:
+def _prepass_core(ae_params: dict, markers_world: jnp.ndarray,
+                  joints_world: jnp.ndarray, marker_mask: jnp.ndarray,
+                  stats: Local4ChanStats, finetune_steps: int,
+                  finetune_lr: float):
+    """Pure-jax core: -> (targets_world [T-1,67,3], contact_lbl [T-1,4]).
+    Traceable end to end, so it vmaps over a leading window axis."""
+    markers_world = jnp.asarray(markers_world)
+    joints_world = jnp.asarray(joints_world)
+    marker_mask = jnp.asarray(marker_mask)
     img, rot0, (R, origin, min_z) = build_marker_image(
         markers_world, joints_world, stats)
     Tm1, d = img.shape[1], img.shape[2]
@@ -87,9 +87,41 @@ def run_infill_prepass(
     # back to world: restore floor offset, invert frame-0 normalization
     targets = targets_norm.at[:, :, 2].add(min_z)
     targets_world = jnp.matmul(targets, jnp.linalg.inv(R)) + origin
+    return (jax.lax.stop_gradient(targets_world),
+            jax.lax.stop_gradient(contact_lbl))
+
+
+def run_infill_prepass(
+    ae_params: dict,
+    markers_world: jnp.ndarray,   # [T, 67, 3] from the warm-start body
+    joints_world: jnp.ndarray,    # [T, 25, 3]
+    marker_mask: jnp.ndarray,     # [T, 67]
+    stats: Local4ChanStats,
+    finetune_steps: int = 60,
+    finetune_lr: float = 3e-6,
+) -> InfillPrepassResult:
+    targets_world, contact_lbl = _prepass_core(
+        ae_params, markers_world, joints_world, marker_mask, stats,
+        finetune_steps, finetune_lr)
     had_occ = bool(marker_mask.size > float(marker_mask.sum()))
     return InfillPrepassResult(
-        targets_world=jax.lax.stop_gradient(targets_world),
-        contact_lbl=jax.lax.stop_gradient(contact_lbl),
+        targets_world=targets_world,
+        contact_lbl=contact_lbl,
         had_occlusion=had_occ,
     )
+
+
+def make_batched_prepass(stats: Local4ChanStats, finetune_steps: int = 60,
+                         finetune_lr: float = 3e-6):
+    """One jitted dispatch for ALL windows of a recording: vmaps the
+    60-step AE finetune + decode over a leading window axis (the
+    window-parallel driver previously ran W sequential pre-passes).
+
+    Returns ``prepass(ae_params, mv [W,T,67,3], mj [W,T,25,3],
+    mask [W,T,67]) -> (targets_world [W,T-1,67,3], contact [W,T-1,4])``.
+    """
+    from functools import partial
+
+    core = partial(_prepass_core, stats=stats,
+                   finetune_steps=finetune_steps, finetune_lr=finetune_lr)
+    return jax.jit(jax.vmap(core, in_axes=(None, 0, 0, 0)))

@@ -233,9 +233,11 @@ def make_batched_window_fitter(
     (driver._run_window_parallel, cfg.window_polish_iters) restores the
     reference's stitching semantics afterwards.
 
-    Returns ``fit(static_batch, prox_params_batch, first_mask)`` where
-    every array carries a leading window axis W; per-window statics are
-    batched, shared statics broadcast.
+    Returns ``fit(static_batch, prox_params_batch, first_mask) ->
+    (opt_vars, betas, losses [W, S], final_terms)`` where every array
+    carries a leading window axis W; per-window statics are batched,
+    shared statics broadcast. ``final_terms`` maps term name -> [W]
+    values at the final solution.
     """
     import dataclasses as _dc
 
@@ -276,15 +278,26 @@ def make_batched_window_fitter(
             lambda v: loss_fn(v, betas, st), has_aux=True)
 
         def step(carry, _):
-            v, state = carry
+            v, state, dead = carry
             (loss, _), grads = grad_fn(v)
             grads = gmask(grads)
-            updates, state = opt.update(grads, state, v)
-            return (optax.apply_updates(v, updates), state), loss
+            updates, new_state = opt.update(grads, state, v)
+            new_v = optax.apply_updates(v, updates)
+            # NaN/Inf freeze (parity with the sequential run_chunk): a
+            # window whose loss goes non-finite keeps its last good params
+            bad = jnp.logical_or(jnp.isnan(loss), jnp.isinf(loss))
+            dead = jnp.logical_or(dead, bad)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(dead, o, n), new, old)
+            return (keep(new_v, v), keep(new_state, state), dead), loss
 
-        (ov, opt_state), losses = jax.lax.scan(
-            step, (ov, opt_state), None, length=chunk)
-        return ov, opt_state, losses
+        (ov, opt_state, _), losses = jax.lax.scan(
+            step, (ov, opt_state, jnp.asarray(False)), None, length=chunk)
+        # per-term values at the post-chunk solution (one extra loss eval
+        # per ~100-step chunk); the final chunk's terms are the final
+        # per-term record, replacing a separate jitted term_eval compile
+        _, terms = loss_fn(ov, betas, st)
+        return ov, opt_state, losses, terms
 
     run_chunk_v = jax.jit(jax.vmap(
         chunk_one, in_axes=(0, 0, 0, static_axes, 0)))
@@ -331,14 +344,17 @@ def make_batched_window_fitter(
             opt_vars = jax.tree_util.tree_map(place, opt_vars)
         all_losses = []
         done = 0
+        terms = None
         while done < maxiters:
-            opt_vars, opt_state, losses = run_chunk_v(
+            opt_vars, opt_state, losses, terms = run_chunk_v(
                 opt_vars, opt_state, betas, static_batch, erase_n)
             all_losses.append(np.asarray(losses))
             done += chunk
         losses = np.concatenate(all_losses, axis=1)[:W, :maxiters]  # [W, S]
         opt_vars = jax.tree_util.tree_map(lambda x: x[:W], opt_vars)
-        return opt_vars, betas[:W], losses
+        final_terms = {k: np.asarray(v)[:W] for k, v in terms.items()
+                       if hasattr(v, "shape")}
+        return opt_vars, betas[:W], losses, final_terms
 
     return fit
 

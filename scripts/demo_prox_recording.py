@@ -99,9 +99,12 @@ def main():
         enc = init_smooth_enc(jax.random.PRNGKey(0))
         stats = GlobalStats(np.zeros((1, 1, 243)), np.ones(243))
 
-    extra = {}
+    # term flags the two demo modes disagree on (one dict, overwritten in
+    # place, so a new flag can't silently diverge between the modes)
+    extra = dict(s2m=False, m2s=False, read_depth=False, read_mask=False,
+                 interpenetration=False, contact=False)
     if args.all_terms:
-        extra = dict(
+        extra.update(
             s2m=True, m2s=True, read_depth=True, read_mask=True,
             s2m_weights=[5e2], m2s_weights=[1.0],
             contact=True, contact_loss_weights=[1.0],
@@ -118,9 +121,7 @@ def main():
         window_parallel=args.window_parallel,
         sdf_packed=not args.exact_sdf, sdf_fp8=args.fp8_sdf,
         sdf_candidates=args.sdf_candidates,
-        **(extra or dict(s2m=False, m2s=False, read_depth=False,
-                         read_mask=False, interpenetration=False,
-                         contact=False)),
+        **extra,
     )
     # NOTE: the fit model is the generator's model when not full-size so
     # keypoints correspond; with full_size we fit the big mesh to the

@@ -113,3 +113,34 @@ def test_s3_runs_from_config_with_shipped_asset():
     th = results[0].term_history
     assert np.isfinite(results[0].final_loss)
     assert float(np.abs(th["motion_infill_loss"]).sum()) > 0
+
+
+@pytest.mark.skipif(not os.path.exists(REF_STATS), reason="stats absent")
+def test_batched_prepass_matches_sequential():
+    """make_batched_prepass (one vmapped dispatch for all windows — the
+    window-parallel driver path) reproduces run_infill_prepass per
+    window."""
+    from lemo_tpu.fitting.prox.infill_prepass import (make_batched_prepass,
+                                                      run_infill_prepass)
+
+    stats = Local4ChanStats.load(REF_STATS)
+    ae = init_infill_ae(jax.random.PRNGKey(0), in_channel=4)
+    rng = np.random.RandomState(7)
+    W, T = 3, 12
+    mv = rng.randn(W, T, 67, 3).astype(np.float32) * 0.2
+    mv[..., 2] += 1.0
+    mj = rng.randn(W, T, 25, 3).astype(np.float32) * 0.2
+    mj[..., 2] += 1.0
+    mask = (rng.rand(W, T, 67) > 0.3).astype(np.float32)
+
+    tw_b, cl_b = make_batched_prepass(stats, finetune_steps=4)(
+        ae, mv, mj, mask)
+    assert tw_b.shape == (W, T - 1, 67, 3) and cl_b.shape == (W, T - 1, 4)
+    for i in range(W):
+        r = run_infill_prepass(ae, mv[i], mj[i], mask[i], stats,
+                               finetune_steps=4)
+        np.testing.assert_allclose(np.asarray(tw_b[i]),
+                                   np.asarray(r.targets_world),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(cl_b[i]),
+                                      np.asarray(r.contact_lbl))

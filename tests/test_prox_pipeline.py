@@ -706,3 +706,43 @@ def test_result_pkls_carry_camera_params():
     rec = pickle.load(open(paths[0], "rb"))
     assert rec["camera_rotation"].shape == (1, 3, 3)
     assert rec["camera_translation"].shape == (1, 3)
+
+
+class TestFrameSelection:
+    """start/step/frame_ids frame selection (data_parser_slide.py:188-191)
+    with masks kept frame-aligned (the reference indexes the unsliced mask
+    with post-slice positions — a latent misalignment this build fixes)."""
+
+    def test_start_step_slicing(self, prox_base):
+        base, info = prox_base
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        full = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                                 batch_size=8, flip=False, read_depth=False)
+        ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                               batch_size=8, flip=False, read_depth=False,
+                               start=4, step=2)
+        assert ds.frame_names == full.frame_names[4::2]
+        np.testing.assert_array_equal(ds.marker_masks,
+                                      full.marker_masks[4::2])
+
+    def test_frame_ids_one_based(self, prox_base):
+        base, info = prox_base
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        full = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                                 batch_size=8, flip=False, read_depth=False)
+        ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                               batch_size=8, flip=False, read_depth=False,
+                               frame_ids=[1, 3, 5, 7, 9, 11, 13, 15])
+        assert ds.frame_names == [full.frame_names[i]
+                                  for i in (0, 2, 4, 6, 8, 10, 12, 14)]
+
+    def test_config_accepts_all_reference_flags(self):
+        """Every flag temp_prox/cmd_parser.py declares is a ProxConfig
+        field (or --config itself)."""
+        import dataclasses as dc
+        import re
+        src = open("/root/reference/temp_prox/cmd_parser.py").read()
+        ref = set(re.findall(r"add_argument\('--([a-z_0-9]+)", src))
+        fields = {f.name for f in dc.fields(ProxConfig)}
+        missing = ref - fields - {"config"}
+        assert not missing, f"missing reference flags: {sorted(missing)}"
