@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference renderer (PROX fits mirrored frames)")
     p.add_argument("--body_color", type=str, default="pink",
                    choices=["pink", "white"])
+    p.add_argument("--rendering_mode", type=str, default="body",
+                   choices=["body", "3d", "both"],
+                   help="'body' = body-over-Color overlays "
+                        "(<frame>_output.png); '3d' = body inside the "
+                        "scene mesh (<frame>_scene.png, reference "
+                        "renderer.py rendering_mode='3d'); 'both' = both")
     p.add_argument("--fx", type=float, default=1060.53)
     p.add_argument("--fy", type=float, default=1060.38)
     p.add_argument("--cx", type=float, default=951.30)
@@ -84,7 +90,7 @@ def main(argv=None):
     print(f"saved {path}")
 
     # body-over-Color overlay renders (renderer.py:110-133 semantics)
-    if args.recording_dir:
+    if args.recording_dir and args.rendering_mode in ("body", "both"):
         import cv2
 
         from lemo_tpu.utils.raster import PINK, render_body_overlay
@@ -111,6 +117,35 @@ def main(argv=None):
             cv2.imwrite(out_path, over[:, :, ::-1])
             n_saved += 1
         print(f"saved {n_saved} overlay renders to {out_dir}")
+
+    # body-in-scene renders (renderer.py:134-151 rendering_mode='3d':
+    # scene mesh transformed into camera coords by inv(cam2world), body
+    # mesh added, rendered from the fitting camera)
+    if args.recording_dir and args.rendering_mode in ("3d", "both"):
+        import cv2
+
+        from lemo_tpu.data.prox import ProxRecording
+        from lemo_tpu.utils.raster import PINK, render_body_in_scene
+
+        color = PINK if args.body_color == "pink" else (0.7, 0.7, 0.7)
+        rec = ProxRecording.from_recording_dir(args.recording_dir)
+        scene_v, scene_f = rec.load_scene_mesh_full()
+        if scene_f is None:
+            print("scene ply has no faces; skipping 3d renders")
+        else:
+            Rw, tw = rec.load_cam2world()
+            scene_cam = (scene_v - tw) @ Rw  # world -> camera
+            H, W = int(round(2 * args.cy)), int(round(2 * args.cx))
+            n_saved = 0
+            for i, fn in enumerate(frames):
+                img = render_body_in_scene(
+                    verts[i], np.asarray(model.faces), scene_cam, scene_f,
+                    W, H, args.fx, args.fy, args.cx, args.cy,
+                    body_color=color)
+                cv2.imwrite(osp.join(out_dir, fn + "_scene.png"),
+                            img[:, :, ::-1])
+                n_saved += 1
+            print(f"saved {n_saved} body-in-scene renders to {out_dir}")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,19 @@ def read_ply_vertices(path: str) -> np.ndarray:
     reads them through psbody.mesh at fit_temp_loadprox_slide.py:368-373).
     Faces and other elements are skipped.
     """
+    return _read_ply(path, want_faces=False)[0]
+
+
+def read_ply_mesh(path: str) -> tuple[np.ndarray, np.ndarray | None]:
+    """PLY reader -> (vertices [N, 3] f32, triangles [F, 3] i32 or None).
+
+    Polygons with more than 3 vertices are fan-triangulated. Used by the
+    body-in-scene renderer (reference temp_prox/renderer.py:110-151
+    rendering_mode='3d' loads the scene mesh through trimesh)."""
+    return _read_ply(path, want_faces=True)
+
+
+def _read_ply(path: str, want_faces: bool):
     _SIZES = {"char": ("i1", 1), "uchar": ("u1", 1), "int8": ("i1", 1),
               "uint8": ("u1", 1), "short": ("i2", 2), "ushort": ("u2", 2),
               "int16": ("i2", 2), "uint16": ("u2", 2), "int": ("i4", 4),
@@ -64,7 +77,15 @@ def read_ply_vertices(path: str) -> np.ndarray:
             elif tok[0] == "end_header":
                 break
         verts = None
+        tris: list = []
+
+        def add_polygon(poly):
+            for k in range(1, len(poly) - 1):  # fan triangulation
+                tris.append((poly[0], poly[k], poly[k + 1]))
+
         for name, count, props in elements:
+            if verts is not None and not want_faces:
+                break
             if fmt == "ascii":
                 if name == "vertex":
                     rows = [fh.readline().split()[:len(props)]
@@ -73,9 +94,13 @@ def read_ply_vertices(path: str) -> np.ndarray:
                     idx = [i for i, p in enumerate(props)
                            if p[0] in ("x", "y", "z")]
                     verts = arr[:, idx].astype(np.float32)
-                    break  # ascii: don't bother parsing faces
-                for _ in range(count):
-                    fh.readline()
+                elif name == "face" and want_faces:
+                    for _ in range(count):
+                        row = fh.readline().split()
+                        add_polygon([int(x) for x in row[1:1 + int(row[0])]])
+                else:
+                    for _ in range(count):
+                        fh.readline()
             else:
                 little = fmt == "binary_little_endian"
                 pre = "<" if little else ">"
@@ -83,6 +108,7 @@ def read_ply_vertices(path: str) -> np.ndarray:
                     # variable-length rows (faces): walk them
                     if name == "vertex":
                         raise ValueError(f"{path}: list property on vertex")
+                    keep = name == "face" and want_faces
                     for _ in range(count):
                         for p in props:
                             if p[0] == "list":
@@ -90,7 +116,10 @@ def read_ply_vertices(path: str) -> np.ndarray:
                                 n = int(np.frombuffer(
                                     fh.read(cnt_t[1]),
                                     pre + cnt_t[0])[0])
-                                fh.read(item_t[1] * n)
+                                buf = fh.read(item_t[1] * n)
+                                if keep:
+                                    add_polygon(np.frombuffer(
+                                        buf, pre + item_t[0]).tolist())
                             else:
                                 fh.read(_SIZES[p[1]][1])
                 else:
@@ -101,10 +130,10 @@ def read_ply_vertices(path: str) -> np.ndarray:
                         rec = np.frombuffer(buf, dt, count)
                         verts = np.stack([rec["x"], rec["y"], rec["z"]],
                                          axis=1).astype(np.float32)
-                        break
     if verts is None:
         raise ValueError(f"{path}: no vertex element found")
-    return verts
+    faces = np.asarray(tris, np.int32) if tris else None
+    return verts, faces
 
 
 def write_ply_vertices(path: str, verts: np.ndarray,
@@ -257,6 +286,13 @@ class ProxRecording:
         (fit_temp_loadprox_slide.py:365-373; only the vertices reach the
         Chamfer contact loss, fitting_temp_slide.py:743-753)."""
         return read_ply_vertices(
+            osp.join(self.scene_dir, self.scene_name + ".ply"))
+
+    def load_scene_mesh_full(self) -> tuple[np.ndarray, np.ndarray | None]:
+        """(vertices, triangles or None) of scenes/<scene>.ply, world
+        coords — for body-in-scene result rendering
+        (temp_prox/renderer.py rendering_mode='3d')."""
+        return read_ply_mesh(
             osp.join(self.scene_dir, self.scene_name + ".ply"))
 
     def load_sdf(self):

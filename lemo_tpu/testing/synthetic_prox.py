@@ -127,7 +127,15 @@ def write_synthetic_prox_recording(
                          np.linspace(-0.5, 4.5, 24))
     floor_v = np.stack([gx.ravel(), gy.ravel(),
                         np.zeros(gx.size)], axis=1).astype(np.float32)
-    write_ply_vertices(osp.join(scenes_dir, scene_name + ".ply"), floor_v)
+    # triangulate the grid so the scene ply is a real mesh (the 3d result
+    # renderer needs faces; the contact term uses only the vertices)
+    ii, jj = np.meshgrid(np.arange(23), np.arange(23), indexing="ij")
+    q = (ii * 24 + jj).ravel()
+    floor_f = np.concatenate([
+        np.stack([q, q + 1, q + 24], axis=1),
+        np.stack([q + 1, q + 25, q + 24], axis=1)]).astype(np.int32)
+    write_ply_vertices(osp.join(scenes_dir, scene_name + ".ply"), floor_v,
+                       faces=floor_f)
 
     # floor-plane SDF
     sdf = synthetic_sdf_grid(dim=48, floor_z=0.0)

@@ -82,6 +82,33 @@ def rasterize_mesh(verts_cam: np.ndarray, faces: np.ndarray,
     return zbuf, shade, np.isfinite(zbuf)
 
 
+def render_body_in_scene(body_verts_cam: np.ndarray, body_faces: np.ndarray,
+                         scene_verts_cam: np.ndarray,
+                         scene_faces: np.ndarray,
+                         width: int, height: int,
+                         fx: float, fy: float, cx: float, cy: float,
+                         body_color=PINK, scene_color=(0.7, 0.7, 0.7),
+                         bg=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """Body mesh rendered inside the scene mesh, both in camera space —
+    the reference's rendering_mode='3d' output (temp_prox/renderer.py:
+    134-151: pyrender scene = static scene mesh + body mesh, same
+    IntrinsicsCamera). Returns uint8 [H, W, 3].
+
+    Two z-buffered passes composited by depth, so each mesh keeps its own
+    flat-shaded color with correct mutual occlusion.
+    """
+    zb, sb, mb = rasterize_mesh(body_verts_cam, body_faces,
+                                width, height, fx, fy, cx, cy)
+    zs, ss, ms = rasterize_mesh(scene_verts_cam, scene_faces,
+                                width, height, fx, fy, cx, cy)
+    body_wins = mb & (zb <= zs)           # zs is +inf where scene absent
+    scene_wins = ms & ~body_wins
+    out = np.ones((height, width, 3)) * np.asarray(bg)[None, None]
+    out[scene_wins] = ss[scene_wins, None] * np.asarray(scene_color)[None]
+    out[body_wins] = sb[body_wins, None] * np.asarray(body_color)[None]
+    return (np.clip(out, 0.0, 1.0) * 255).astype(np.uint8)
+
+
 def render_body_overlay(verts_cam: np.ndarray, faces: np.ndarray,
                         image: np.ndarray,
                         fx: float, fy: float, cx: float, cy: float,

@@ -120,3 +120,122 @@ class TestRenderFittingCli:
 
         img = cv2.imread(os.path.join(rend, outputs[0]))
         assert img is not None and img.shape[2] == 3
+
+        # body-in-scene renders (reference rendering_mode='3d'): small
+        # virtual camera keeps the software raster fast
+        render_main([
+            "--fitting_dir", fitting_dir,
+            "--model_folder", model_dir,
+            "--recording_dir", info["recording_dir"],
+            "--flip", "false", "--start", "0", "--step", "2",
+            "--count", "2", "--rendering_mode", "3d",
+            "--fx", "200", "--fy", "200", "--cx", "160", "--cy", "120",
+        ])
+        scenes = [f for f in os.listdir(rend) if f.endswith("_scene.png")]
+        assert len(scenes) == 2, os.listdir(rend)
+        img3 = cv2.imread(os.path.join(rend, scenes[0]))
+        assert img3.shape == (240, 320, 3)
+        # both gray scene pixels and colored body pixels are present
+        gray = (img3[:, :, 0] == img3[:, :, 2]) & (img3[:, :, 0] < 250)
+        colored = img3[:, :, 2].astype(int) > img3[:, :, 0].astype(int) + 10
+        assert gray.any() and colored.any()
+
+
+class TestBodyInScene:
+    def test_two_mesh_depth_compositing(self):
+        """render_body_in_scene: the nearer mesh wins each pixel (the
+        reference renderer.py rendering_mode='3d' semantics)."""
+        from lemo_tpu.utils.raster import render_body_in_scene
+
+        H, W, F = 120, 160, 200.0
+        body_v, body_f = uv_sphere([0.0, 0.0, 2.0], 0.4, n_theta=10,
+                                   n_phi=10)
+        # scene: a big quad BEHIND the body
+        scene_v = np.array([[-2, -2, 4.0], [2, -2, 4.0],
+                            [2, 2, 4.0], [-2, 2, 4.0]], np.float64)
+        scene_f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        img = render_body_in_scene(body_v, body_f, scene_v, scene_f,
+                                   W, H, F, F, W / 2, H / 2)
+        c = img[H // 2, W // 2].astype(float) / 255.0
+        # center pixel: pink body, not gray scene
+        assert c[0] > c[2] * 1.1, c
+        # corner pixel: gray scene (r == g == b, not background white 255)
+        corner = img[2, 2]
+        assert corner[0] == corner[1] == corner[2]
+        assert 0 < corner[0] < 250
+        # scene in FRONT of the body hides it
+        scene_near = scene_v.copy()
+        scene_near[:, 2] = 1.0
+        img2 = render_body_in_scene(body_v, body_f, scene_near, scene_f,
+                                    W, H, F, F, W / 2, H / 2)
+        c2 = img2[H // 2, W // 2]
+        assert c2[0] == c2[1] == c2[2]  # gray scene, body occluded
+
+
+class TestPlyMesh:
+    def test_ascii_roundtrip_with_faces(self, tmp_path):
+        from lemo_tpu.data.prox import read_ply_mesh, write_ply_vertices
+
+        v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                     np.float32)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        p = str(tmp_path / "m.ply")
+        write_ply_vertices(p, v, faces=f)
+        rv, rf = read_ply_mesh(p)
+        np.testing.assert_allclose(rv, v)
+        np.testing.assert_array_equal(rf, f)
+
+    def test_ascii_quad_fan_triangulated(self, tmp_path):
+        from lemo_tpu.data.prox import read_ply_mesh
+
+        p = str(tmp_path / "quad.ply")
+        with open(p, "w") as fh:
+            fh.write("ply\nformat ascii 1.0\n"
+                     "element vertex 4\n"
+                     "property float x\nproperty float y\nproperty float z\n"
+                     "element face 1\n"
+                     "property list uchar int vertex_indices\n"
+                     "end_header\n"
+                     "0 0 0\n1 0 0\n1 1 0\n0 1 0\n"
+                     "4 0 1 2 3\n")
+        rv, rf = read_ply_mesh(p)
+        assert rv.shape == (4, 3)
+        np.testing.assert_array_equal(rf, [[0, 1, 2], [0, 2, 3]])
+
+    def test_binary_faces(self, tmp_path):
+        from lemo_tpu.data.prox import read_ply_mesh, read_ply_vertices
+
+        import struct
+        p = str(tmp_path / "b.ply")
+        header = ("ply\nformat binary_little_endian 1.0\n"
+                  "element vertex 3\n"
+                  "property float x\nproperty float y\nproperty float z\n"
+                  "element face 1\n"
+                  "property list uchar int vertex_indices\n"
+                  "end_header\n")
+        with open(p, "wb") as fh:
+            fh.write(header.encode())
+            for xyz in [(0, 0, 0), (1, 0, 0), (0, 1, 0)]:
+                fh.write(struct.pack("<3f", *xyz))
+            fh.write(struct.pack("<B3i", 3, 0, 1, 2))
+        rv, rf = read_ply_mesh(p)
+        assert rv.shape == (3, 3)
+        np.testing.assert_array_equal(rf, [[0, 1, 2]])
+        # vertices-only reader still works on the same file
+        np.testing.assert_allclose(read_ply_vertices(p), rv)
+
+    def test_synthetic_scene_has_faces(self, tmp_path):
+        from lemo_tpu.data.prox import ProxRecording
+        from lemo_tpu.testing.synthetic_prox import \
+            write_synthetic_prox_recording
+
+        info = write_synthetic_prox_recording(str(tmp_path / "p"),
+                                              num_frames=3, seed=0,
+                                              write_depth=False)
+        rec = ProxRecording.from_recording_dir(info["recording_dir"])
+        sv, sf = rec.load_scene_mesh_full()
+        assert sv.shape == (576, 3)
+        assert sf.shape == (23 * 23 * 2, 3)
+        assert sf.min() >= 0 and sf.max() < len(sv)
+        # vertices-only path (contact term) unchanged
+        np.testing.assert_allclose(rec.load_scene_mesh(), sv)
