@@ -323,8 +323,76 @@ def _make_warm_world_markers(assets, rec):
     return warm_world_markers
 
 
+def _make_window_extras_saver(cfg, assets, rec, output_folder):
+    """Per-window `save_meshes` / `render_results` outputs
+    (fit_temp_loadprox_slide.py:596-704): body ply per frame under
+    <output>/<mesh_folder>/<frame>/000.ply and body-over-Color overlay
+    renders under <output>/images/<frame>.png. Returns
+    ``save(frame_names, result)`` or None when both flags are off.
+
+    The overlay render uses the built-in software rasterizer (the
+    reference uses pyrender) — seconds per frame at full resolution, so
+    it is opt-in exactly like the reference's flag."""
+    if not (cfg.save_meshes or cfg.render_results):
+        return None
+    import jax
+
+    from lemo_tpu.body_model import make_forward_fn
+    from lemo_tpu.data.prox import write_ply_vertices
+
+    model = assets.model
+    fwd = jax.jit(make_forward_fn(model))
+    faces = np.asarray(model.faces)
+    mesh_dir = osp.join(output_folder, cfg.mesh_folder)
+    img_dir = osp.join(output_folder, "images")
+    color_dir = osp.join(rec.recording_dir, cfg.img_folder)
+
+    def save(frame_names, result):
+        params = model.zero_params(len(frame_names))
+        for k, v in result.params.items():
+            if k in params:
+                params[k] = jnp.asarray(v)
+        verts = np.asarray(fwd(params, model.consts)["vertices"])
+        n_mesh = n_img = 0
+        for i, fn in enumerate(frame_names):
+            if cfg.save_meshes:
+                d = osp.join(mesh_dir, fn)
+                os.makedirs(d, exist_ok=True)
+                write_ply_vertices(osp.join(d, "000.ply"), verts[i],
+                                   faces=faces)
+                n_mesh += 1
+            if cfg.render_results:
+                import cv2
+
+                from lemo_tpu.utils.raster import render_body_overlay
+
+                img_path = None
+                for ext in (".jpg", ".png"):
+                    cand = osp.join(color_dir, fn + ext)
+                    if osp.exists(cand):
+                        img_path = cand
+                        break
+                if img_path is None:
+                    continue
+                img = cv2.imread(img_path)[:, :, ::-1]
+                if cfg.flip:
+                    img = img[:, ::-1]
+                over = render_body_overlay(
+                    verts[i], faces, img,
+                    cfg.focal_length_x, cfg.focal_length_y,
+                    cfg.camera_center_x, cfg.camera_center_y)
+                os.makedirs(img_dir, exist_ok=True)
+                cv2.imwrite(osp.join(img_dir, fn + ".png"),
+                            over[:, :, ::-1])
+                n_img += 1
+        return n_mesh, n_img
+
+    return save
+
+
 def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
-                         result_folder, n_windows, verbose):
+                         result_folder, n_windows, verbose,
+                         save_extras=None):
     """All windows fitted concurrently, window axis sharded over the
     device mesh (the multi-chip path; see
     window.make_batched_window_fitter for the stitching semantics)."""
@@ -464,6 +532,8 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
         )
         save_window_pkls(result, window_data[widx]["fns"], result_folder,
                          camera_params=_CAMERA_PKL_PARAMS)
+        if save_extras is not None:
+            save_extras(window_data[widx]["fns"], result)
         results.append(result)
     if verbose:
         print(f"[window-parallel] {n_windows} windows on "
@@ -519,11 +589,12 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
     results = []
     n_windows = len(ds.windows) if max_windows is None else \
         min(max_windows, len(ds.windows))
+    save_extras = _make_window_extras_saver(cfg, assets, rec, output_folder)
 
     if cfg.window_parallel:
         return _run_window_parallel(cfg, assets, rec, ds, jw, mapper,
                                     weights, result_folder, n_windows,
-                                    verbose)
+                                    verbose, save_extras=save_extras)
 
     warm_world_markers = None
     if cfg.use_motion_infill_prior and assets.infill_ae_params:
@@ -544,7 +615,7 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
         return _fit_windows_sequential(
             cfg, assets, rec, ds, jw, mapper, weights, result_folder,
             n_windows, verbose, logger, results, warm_world_markers,
-            prefetcher, fut)
+            prefetcher, fut, save_extras)
     finally:
         if prefetcher:
             prefetcher.shutdown(wait=False, cancel_futures=True)
@@ -552,7 +623,8 @@ def run_prox_fitting(cfg: ProxConfig, assets: ProxAssets | None = None,
 
 def _fit_windows_sequential(cfg, assets, rec, ds, jw, mapper, weights,
                             result_folder, n_windows, verbose, logger,
-                            results, warm_world_markers, prefetcher, fut):
+                            results, warm_world_markers, prefetcher, fut,
+                            save_extras=None):
     model = assets.model
     window_fitter = None  # built from the first window, reused for all
     for widx in range(n_windows):
@@ -588,6 +660,8 @@ def _fit_windows_sequential(cfg, assets, rec, ds, jw, mapper, weights,
             maxiters=cfg.maxiters, lr=cfg.lr, fitter=window_fitter)
         save_window_pkls(result, wd["fns"], result_folder,
                          camera_params=_CAMERA_PKL_PARAMS)
+        if save_extras is not None:
+            save_extras(wd["fns"], result)
         results.append(result)
         # per-term optimizer scalars, as the reference logs each closure
         # call to tensorboard (fitting_temp_slide.py:293-307)

@@ -746,3 +746,44 @@ class TestFrameSelection:
         fields = {f.name for f in dc.fields(ProxConfig)}
         missing = ref - fields - {"config"}
         assert not missing, f"missing reference flags: {sorted(missing)}"
+
+
+def test_save_meshes_and_render_results_outputs(tmp_path):
+    """cfg.save_meshes / cfg.render_results produce the reference's
+    per-window outputs (fit_temp_loadprox_slide.py:596-704):
+    <output>/<mesh_folder>/<frame>/000.ply body meshes and
+    <output>/images/<frame>.png overlay renders."""
+    import jax
+
+    from lemo_tpu.body_model import load_model
+    from lemo_tpu.data.prox import read_ply_mesh
+    from lemo_tpu.fitting.prox.driver import ProxAssets, run_prox_fitting
+    from lemo_tpu.testing.synthetic_prox import write_synthetic_prox_recording
+
+    info = write_synthetic_prox_recording(str(tmp_path / "p"), num_frames=8,
+                                          seed=2, write_depth=False)
+    model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    out = str(tmp_path / "out")
+    cfg = ProxConfig(
+        recording_dir=info["recording_dir"], output_folder=out,
+        batch_size=8, maxiters=2, lr=0.005, flip=False,
+        s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=False, use_friction=False,
+        use_motion_smooth_prior=False, interpenetration=False,
+        contact=False, use_motion_infill_prior=False,
+        save_meshes=True, render_results=True,
+        # small virtual camera keeps the software overlay raster fast
+        focal_length_x=50.0, focal_length_y=50.0,
+        camera_center_x=40.0, camera_center_y=30.0)
+    run_prox_fitting(cfg, ProxAssets(model=model,
+                                     vposer_params=info["vposer_params"]),
+                     max_windows=1, verbose=False)
+    root = os.path.join(out, info["recording_name"])
+    mesh_frames = sorted(os.listdir(os.path.join(root, "meshes")))
+    assert len(mesh_frames) == 8
+    v, f = read_ply_mesh(os.path.join(root, "meshes", mesh_frames[0],
+                                      "000.ply"))
+    assert v.shape == (model.num_verts, 3)
+    assert f is not None and f.shape[1] == 3
+    imgs = sorted(os.listdir(os.path.join(root, "images")))
+    assert len(imgs) == 8 and imgs[0].endswith(".png")
