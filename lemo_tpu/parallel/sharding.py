@@ -26,6 +26,51 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis_name,))
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> int:
+    """Bring up jax.distributed for a multi-host pod (no-op on one host).
+
+    On TPU pods the three arguments are discovered from the environment;
+    pass them explicitly on other fabrics. Returns the process index.
+    Every host must then build the SAME mesh (make_pod_mesh) and run the
+    same jitted program — XLA routes collectives over ICI within a slice
+    and DCN across slices.
+    """
+    if num_processes is not None and num_processes > 1 \
+            or coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index()
+
+
+def make_pod_mesh(dp: int | None = None, within: int | None = None,
+                  axis_names: tuple[str, str] = ("dp", "win")) -> Mesh:
+    """2-D mesh over all devices of a (possibly multi-host) runtime:
+    outer `dp` axis for independent work (recordings/clips; ride DCN when
+    hosts are separate slices), inner `within` axis for work that
+    communicates (windows of one recording, frame-sharded fits; rides
+    ICI). Defaults: dp = number of processes (1 locally), within = the
+    rest.
+
+    Uses mesh_utils.create_device_mesh so device order follows the
+    physical torus instead of enumeration order (minimizes hop counts on
+    real pods; identical to a reshape on CPU meshes).
+    """
+    from jax.experimental import mesh_utils
+
+    n = len(jax.devices())
+    if dp is None:
+        dp = max(jax.process_count(), 1)
+    if within is None:
+        within = n // dp
+    if dp * within != n:
+        raise ValueError(f"dp*within = {dp}*{within} != {n} devices")
+    devs = mesh_utils.create_device_mesh((dp, within))
+    return Mesh(devs, axis_names)
+
+
 def data_parallel_step(train_step, mesh: Mesh, axis_name: str = "dp"):
     """Wrap a `(params, opt_state, batch, *rest) -> (params, opt_state,
     metrics)` train step so the batch is sharded over the mesh and params/

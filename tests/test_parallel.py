@@ -60,3 +60,37 @@ class TestSharding:
             x2, l2 = fit(target_sh, jnp.zeros(10))
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
+
+
+class TestPodMesh:
+    """2-D pod mesh (outer dp over processes/DCN, inner axis over ICI)."""
+
+    def test_default_shape_single_host(self):
+        from lemo_tpu.parallel import initialize_multihost, make_pod_mesh
+
+        assert initialize_multihost() == 0  # no-op on one host
+        mesh = make_pod_mesh()
+        assert mesh.devices.shape == (1, 8)
+        assert mesh.axis_names == ("dp", "win")
+
+    def test_explicit_factorization_and_use(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lemo_tpu.parallel import make_pod_mesh
+
+        mesh = make_pod_mesh(dp=2, within=4)
+        assert mesh.devices.shape == (2, 4)
+        x = jnp.arange(8 * 6, dtype=jnp.float32).reshape(8, 6)
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        y = jax.jit(lambda a: (a * 2).sum())(xs)
+        assert float(y) == float((x * 2).sum())
+
+    def test_bad_factorization_raises(self):
+        import pytest as _pt
+
+        from lemo_tpu.parallel import make_pod_mesh
+
+        with _pt.raises(ValueError):
+            make_pod_mesh(dp=3)
