@@ -19,3 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache: the suite compiles many
+# near-identical PROX loss programs across test files (separate processes
+# and separate jit closures can't share the in-process cache); the disk
+# cache dedupes by HLO hash. Measured 2.7x on the window-parallel file
+# warm; identical first-run compiles within one run also hit it.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_compilation_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
