@@ -317,6 +317,17 @@ def rigid_transform_chain_level(
     return posed_joints, rel
 
 
+# Vertex-path implementation:
+#   'auto'  - fused Pallas kernel on TPU when the model carries the fused
+#             constants (body_model/vertex_pallas.py), XLA elsewhere
+#   'fused' - force the fused kernel (interpreter-mode off-TPU: tests)
+#   'xla'   - the separate-matmul path below
+# The fused kernel computes blend shapes + pose offsets + skinning in one
+# VMEM-resident pass per V-tile (custom VJP mirrors it) — no [B, V, 3]
+# intermediates in HBM and ~10 fewer dispatches per forward; exact f32.
+LBS_IMPL = "auto"
+
+
 def lbs(
     shape_components: jnp.ndarray,  # [B, S] betas (+expression/dmpls)
     pose: jnp.ndarray,  # [B, (J)*3] axis-angle incl. root
@@ -328,13 +339,24 @@ def lbs(
     lbs_weights: jnp.ndarray,  # [V, J]
     *,
     pose2rot: bool = True,
+    fused_consts: dict[str, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full LBS forward. Returns (vertices [B, V, 3], joints [B, J, 3]).
 
     Faithful to reference lbs.py:34-119, with matmuls arranged for the MXU.
+    `fused_consts` (load_model attaches them: fused_dirs, lbs_w_pad,
+    j_template, j_shapedirs) enables the single-kernel vertex path.
     """
     B = shape_components.shape[0]
     V = v_template.shape[0]
+
+    impl = LBS_IMPL
+    if impl == "auto":
+        impl = "fused" if (fused_consts is not None
+                           and jax.default_backend() == "tpu") else "xla"
+    if impl == "fused" and fused_consts is not None and posedirs is not None:
+        return _lbs_fused(shape_components, pose, parents, fused_consts,
+                          V, pose2rot=pose2rot)
 
     v_shaped = v_template[None] + blend_shapes(shape_components, shapedirs_flat)
     J = vertices2joints(J_regressor, v_shaped)  # [B, J, 3]
@@ -378,4 +400,84 @@ def lbs(
                            precision=_heavy())
                 + T_vb[..., 3])
     verts = verts_vb.transpose(1, 0, 2)
+    return verts, posed_joints
+
+
+def _lbs_fused(shape_components, pose, parents, fc, num_verts, *,
+               pose2rot=True):
+    """Fused, PLANE-MAJOR vertex path (body_model/vertex_pallas.py).
+
+    The entire forward runs in plane layout ([comp, J, B] / [comp, V, B]
+    with the batch on TPU lanes): rest-pose joints come straight from
+    the shape components via the precomputed `j_ext` matmul, Rodrigues
+    is elementwise on pose planes (one XLA fusion), the kinematic chain
+    composes planes in the Pallas chain kernel, the bone affines feed
+    the fused vertex kernel as planes, and the pose-feature rows of the
+    blend input are a reshape of the rotation planes (posedirs columns
+    were permuted to match at load). The only [B, ...]-layout tensors
+    are the tiny joint outputs and the final vertex transpose — no
+    [B, V, 3] or [B, J, 3, 3] intermediates, no layout ops between the
+    stages, and both autodiff directions inherit the same structure.
+    """
+    import numpy as _np
+
+    from lemo_tpu.body_model.chain_pallas import _chain_planes, _pad_to
+    from lemo_tpu.body_model.vertex_pallas import (
+        LANE, fused_lbs_vertices_planes)
+    from lemo_tpu.ops.rotations import aa_to_matrot_planes
+
+    _hi = jax.lax.Precision.HIGHEST
+    B = shape_components.shape[0]
+    S = shape_components.shape[1]
+    Jp = fc["lbs_w_pad"].shape[1]
+    J = fc["j_ext"].shape[0] // 3
+    Bp = B + _pad_to(B, LANE)
+
+    # rest-pose joint planes [3, Jp, Bp] from the shape components
+    shape_T = jnp.pad(shape_components.T, ((0, 0), (0, Bp - B)))  # [S, Bp]
+    cat_s = jnp.concatenate(
+        [shape_T, jnp.ones((1, Bp), shape_T.dtype)])              # [S+1, Bp]
+    jr = jnp.matmul(fc["j_ext"], cat_s, precision=_hi).reshape(3, J, Bp)
+    jr = jnp.pad(jr, ((0, 0), (0, Jp - J), (0, 0)))
+
+    # local rotation planes [9, Jp, Bp]
+    if pose2rot:
+        p_pl = pose.reshape(B, J, 3).transpose(2, 1, 0)           # [3, J, B]
+        p_pl = jnp.pad(p_pl, ((0, 0), (0, Jp - J), (0, Bp - B)))
+        rl = aa_to_matrot_planes(p_pl)
+    else:
+        rl = pose.reshape(B, J, 9).transpose(2, 1, 0)
+        rl = jnp.pad(rl, ((0, 0), (0, Jp - J), (0, Bp - B)))
+
+    # rel-joint translation planes: tl[j] = jr[j] - jr[parent(j)]
+    # (root keeps jr[0]) as one static scatter-free matmul
+    parents_np = _np.asarray(parents, _np.int64)
+    Msub = _np.eye(Jp, dtype=_np.float32)
+    for j in range(1, J):
+        Msub[j, int(parents_np[j])] -= 1.0
+    tl = jnp.einsum("jp,npb->njb", jnp.asarray(Msub), jr, precision=_hi)
+
+    parents_padded = tuple(
+        [int(p) for p in parents_np] + [0] * (Jp - J))
+    rg, tg = _chain_planes(rl, tl, parents_padded)    # [9/3, Jp, Bp]
+
+    # bone affines: rel_t[m] = tg[m] - sum_n rg[3m+n] * jr[n]
+    rel_t = jnp.stack([
+        tg[m] - (rg[3 * m] * jr[0] + rg[3 * m + 1] * jr[1]
+                 + rg[3 * m + 2] * jr[2])
+        for m in range(3)])
+    A_pl = jnp.concatenate([rg, rel_t], axis=0)       # [12, Jp, Bp]
+
+    # pose-feature rows r = k*(J-1) + (j-1): a reshape of the rotation
+    # planes minus identity (dirs pose block is permuted to this order)
+    ident_k = jnp.asarray(
+        _np.eye(3, dtype=_np.float32).reshape(9, 1, 1))
+    pf = (rl[:, 1:J, :] - ident_k).reshape(9 * (J - 1), Bp)
+    catT = jnp.concatenate(
+        [shape_T, pf, jnp.ones((1, Bp), shape_T.dtype)])
+
+    out = fused_lbs_vertices_planes(catT, A_pl, fc["fused_dirs"],
+                                    fc["lbs_w_pad"])  # [3, Vp, Bp]
+    verts = out[:, :num_verts, :B].transpose(2, 1, 0)
+    posed_joints = tg[:, :J, :B].transpose(2, 1, 0)
     return verts, posed_joints

@@ -183,6 +183,19 @@ def load_model(
     consts["J_regressor"] = J_regressor.astype(np.float32)
     consts["lbs_weights"] = np.asarray(smpl_dict["weights"], np.float32)
 
+    if use_posedirs:
+        # fused vertex-path constants (body_model/vertex_pallas.py):
+        # plane-major blend dirs (pose block permuted to plane order) +
+        # padded skinning weights + the J_regressor pre-applied to the
+        # shape dirs (f64 association) so rest-pose joint planes come
+        # straight from the shape components
+        from lemo_tpu.body_model.vertex_pallas import build_fused_consts
+
+        v_template_f64 = np.asarray(smpl_dict["v_template"], np.float64)
+        consts.update(build_fused_consts(
+            shape_expr, posedirs_raw, v_template_f64,
+            consts["lbs_weights"], J_regressor))
+
     kintree = np.asarray(smpl_dict["kintree_table"], np.int64)
     parents = kintree[0].copy()
     parents[0] = 0  # root sentinel (stored as 2**32-1 in official files)
@@ -307,6 +320,7 @@ def smplx_forward(
     config: SmplxConfig,
     parents: tuple,  # static tuple of ints
     joint_mapper: jnp.ndarray | None = None,
+    fused: bool = True,
 ) -> dict[str, jnp.ndarray]:
     """Pure forward pass. params arrays are [B, ...].
 
@@ -323,6 +337,10 @@ def smplx_forward(
         shape_comp = params["betas"]
 
     parents_np = np.asarray(parents, np.int64)
+    fused_consts = None
+    if fused and "fused_dirs" in consts:
+        fused_consts = {k: consts[k] for k in
+                        ("fused_dirs", "lbs_w_pad", "j_ext")}
     verts, joints = _lbs.lbs(
         shape_comp,
         full_pose,
@@ -332,6 +350,7 @@ def smplx_forward(
         consts["J_regressor"],
         parents_np,
         consts["lbs_weights"],
+        fused_consts=fused_consts,
     )
 
     if config.use_extra_joints and "extra_joint_ids" in consts:
@@ -355,17 +374,24 @@ def smplx_forward(
     }
 
 
-def make_forward_fn(model: SmplxModel, joint_mapper: np.ndarray | None = None):
+def make_forward_fn(model: SmplxModel, joint_mapper: np.ndarray | None = None,
+                    fused: bool = True):
     """Bind a model's static pieces; returns f(params, consts) -> outputs.
 
     Keeping `consts` an explicit argument lets callers donate/shard it and
     lets a single jitted computation serve multiple genders (same shapes).
+
+    `fused=False` opts out of the fused Pallas vertex path
+    (lbs.LBS_IMPL); builders that `vmap` the forward MUST pass it —
+    batching a pallas_call broadcasts the ~64 MB dirs operand per batch
+    element.
     """
     parents = tuple(int(p) for p in model.parents)
     config = model.config
     jm = None if joint_mapper is None else jnp.asarray(joint_mapper)
 
     def forward(params, consts):
-        return smplx_forward(params, consts, config, parents, jm)
+        return smplx_forward(params, consts, config, parents, jm,
+                             fused=fused)
 
     return forward

@@ -131,6 +131,9 @@ class ProxConfig:
         default_factory=lambda: [1.0])
     contact_body_parts: list = dataclasses.field(default_factory=lambda: [
         "L_Leg", "R_Leg", "L_Hand", "R_Hand", "gluteus", "back", "thighs"])
+    # frames per chunk of the self-intersection term's dense fallback
+    # (memory/latency trade; ops.intersection.batched_self_intersection)
+    coll_frame_chunk: int = 2
     # smoothness terms
     smooth_acc: bool = False
     smooth_acc_weights: list = dataclasses.field(default_factory=lambda: [1e6])
@@ -138,6 +141,9 @@ class ProxConfig:
     smooth_vel_weights: list = dataclasses.field(default_factory=lambda: [1e3])
     use_motion_smooth_prior: bool = True
     AE_Enc_path: str = ""
+    # normalization stats for the smoothness prior; empty = derived from
+    # AE_Enc_path per the reference's directory layout (driver.load_assets)
+    smooth_stats_path: str = ""
     motion_prior_smooth_weights: list = dataclasses.field(
         default_factory=lambda: [1e8])
     # friction
@@ -150,6 +156,9 @@ class ProxConfig:
     use_motion_infill_prior: bool = False
     use_motion_infill: bool = False
     AE_infill_path: str = ""
+    # 4-channel local-marker stats for the infill prior; empty = the
+    # stats npz shipped next to the AE asset (driver.load_assets)
+    infill_stats_path: str = ""
     conv_kernel: int = 3
     motion_infill_rec_weights: list = dataclasses.field(
         default_factory=lambda: [2.0])
@@ -205,6 +214,29 @@ class ProxConfig:
     # unprojection) with the device fit of window i; warm-start pkls are
     # still read only after the previous window saved (resume semantics)
     prefetch_windows: bool = True
+
+    @property
+    def n_stages(self) -> int:
+        """Number of optimization stages: the longest per-stage weight
+        list (the reference zips the lists and runs the optimizer once
+        per entry, fit_temp_loadprox_slide.py:377-417,507-528).
+        `num_stages` overrides when set."""
+        if self.num_stages:
+            return int(self.num_stages)
+        lists = [
+            self.data_weights, self.body_pose_prior_weights,
+            self.hand_pose_prior_weights, self.jaw_pose_prior_weights,
+            self.shape_weights, self.expr_weights,
+            self.hand_joints_weights, self.face_joints_weights,
+            self.s2m_weights, self.m2s_weights, self.coll_loss_weights,
+            self.sdf_penetration_weights, self.contact_loss_weights,
+            self.smooth_acc_weights, self.smooth_vel_weights,
+            self.motion_prior_smooth_weights,
+            self.friction_normal_weights, self.friction_tangent_weights,
+            self.motion_infill_rec_weights,
+            self.motion_infill_contact_weights,
+        ]
+        return max(len(x) for x in lists if isinstance(x, list))
 
     def stage_weights(self, stage: int = 0) -> dict[str, float]:
         """Flatten the per-stage weight lists into a single-stage dict

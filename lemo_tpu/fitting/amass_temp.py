@@ -98,14 +98,16 @@ def _make_fit_core(
     foot_ids: dict,
     num_steps: int = 100,
     weights: Stage2Weights = Stage2Weights(),
+    fused: bool = True,
 ):
     """Build the un-jitted Stage-2 fit core
     ``fit(markers_target, contact_lbl, init72) -> (x72, losses)``; the
     public wrappers jit it once (single-clip) or vmap+jit it
-    (clip-batched) — calling a fresh closure per clip would re-trace the
+    (clip-batched, `fused=False` — the fused Pallas vertex path must not
+    be vmapped) — calling a fresh closure per clip would re-trace the
     whole 100-step scan every time (tens of seconds of compile).
     """
-    fwd = make_forward_fn(model)
+    fwd = make_forward_fn(model, fused=fused)
     V = model.consts["v_template"].shape[0]
     # static marker selection as one-hot MXU matmuls — gather+scatter of
     # marker rows measured ~0.8 ms of the ~3.7 ms step (see ops/select.py)
@@ -170,6 +172,7 @@ def make_temporal_fitter_batched(*args, **kwargs):
     This is the production corpus layout: one chip fits C clips at once,
     and the device mesh shards the corpus (parallel.clip_sharded_fit).
     """
+    kwargs["fused"] = False
     return jax.jit(jax.vmap(_make_fit_core(*args, **kwargs)))
 
 

@@ -46,7 +46,31 @@ def weights_from_config(cfg: ProxConfig, stage: int = 0) -> ProxWeights:
         motion_infill_rec=w["motion_infill_rec"],
         motion_infill_contact=w["motion_infill_contact"],
         sdf_fp8=bool(getattr(cfg, "sdf_fp8", False)),
+        coll_frame_chunk=int(getattr(cfg, "coll_frame_chunk", 2)),
     )
+
+
+def build_priors(cfg: ProxConfig) -> dict:
+    """cfg.*_prior_type -> prior callables for make_prox_loss
+    (main_slide.py:199-237; hand GMMs use num_pca_comps components like
+    the reference's lhand_args/rhand_args overrides :218-230). Only
+    non-default types are materialized — l2 entries stay implicit."""
+    from lemo_tpu.priors.body_priors import create_prior
+
+    out: dict = {}
+    base = {"prior_folder": cfg.prior_folder,
+            "num_gaussians": cfg.num_gaussians}
+    hand = {"prior_folder": cfg.prior_folder,
+            "num_gaussians": cfg.num_pca_comps}
+    for key, ptype, kw in (
+            ("body", cfg.body_prior_type, base),
+            ("left_hand", cfg.left_hand_prior_type, hand),
+            ("right_hand", cfg.right_hand_prior_type, hand),
+            ("jaw", cfg.jaw_prior_type, base),
+            ("expr", cfg.expr_prior_type, base)):
+        if ptype not in (None, "", "l2"):
+            out[key] = create_prior(ptype, **kw)
+    return out
 
 
 @dataclasses.dataclass
@@ -103,14 +127,25 @@ def load_assets(cfg: ProxConfig) -> ProxAssets:
     smooth_enc = smooth_stats = None
     if cfg.use_motion_smooth_prior and cfg.AE_Enc_path:
         smooth_enc = load_torch_state_dict(cfg.AE_Enc_path)
-        smooth_stats = GlobalStats.load(osp.join(
-            osp.dirname(osp.dirname(cfg.AE_Enc_path)), "..",
-            "preprocess_stats",
-            "preprocess_stats_smooth_withHand_global_markers.npz"))
+        stats_path = osp.expandvars(cfg.smooth_stats_path) \
+            if cfg.smooth_stats_path else osp.join(
+                osp.dirname(osp.dirname(cfg.AE_Enc_path)), "..",
+                "preprocess_stats",
+                "preprocess_stats_smooth_withHand_global_markers.npz")
+        if not osp.exists(stats_path):
+            raise FileNotFoundError(
+                f"smoothness-prior stats not found at {stats_path!r} "
+                "(derived from AE_Enc_path per the reference layout); "
+                "set smooth_stats_path in the config to point at the "
+                "preprocess_stats_smooth_withHand_global_markers.npz file")
+        smooth_stats = GlobalStats.load(stats_path)
     infill_ae = infill_stats = None
     if cfg.use_motion_infill_prior:
         from lemo_tpu.priors.conv_ae import load_state_dict_npz
 
+        if cfg.infill_stats_path:
+            infill_stats = Local4ChanStats.load(
+                osp.expandvars(cfg.infill_stats_path))
         if cfg.AE_infill_path:
             infill_ae = (load_torch_state_dict(cfg.AE_infill_path)
                          if cfg.AE_infill_path.endswith((".pkl", ".pt"))
@@ -125,8 +160,9 @@ def load_assets(cfg: ProxConfig) -> ProxAssets:
             ae_path = osp.join(asset_dir, "infill_ae.npz")
             if osp.exists(ae_path):
                 infill_ae = load_state_dict_npz(ae_path)
-                infill_stats = Local4ChanStats.load(
-                    osp.join(asset_dir, "infill_stats.npz"))
+                if infill_stats is None:
+                    infill_stats = Local4ChanStats.load(
+                        osp.join(asset_dir, "infill_stats.npz"))
     faces_segm = ign_table = None
     if cfg.interpenetration and cfg.part_segm_fn:
         faces_segm, ign_table = load_part_segm(
@@ -190,8 +226,9 @@ def _sdf_candidate_ids(cfg: ProxConfig, assets: ProxAssets, warm: dict,
     model = assets.model
     params = {k: jnp.asarray(v) for k, v in warm.items()
               if k != "pose_embedding"}
-    params["body_pose"] = vp.decode(
-        assets.vposer_params, jnp.asarray(warm["pose_embedding"]), "aa")
+    if cfg.use_vposer and "pose_embedding" in warm:
+        params["body_pose"] = vp.decode(
+            assets.vposer_params, jnp.asarray(warm["pose_embedding"]), "aa")
     out = make_forward_fn(model)(params, model.consts)
     vw = out["vertices"] @ jnp.asarray(R).T + jnp.asarray(t)
     vals = sample_sdf_world(sdf, vw.reshape(-1, 3), grid_min, grid_max,
@@ -208,10 +245,29 @@ def _sdf_candidate_ids(cfg: ProxConfig, assets: ProxAssets, warm: dict,
     return np.argsort(min_sdf)[:K].astype(np.int32)
 
 
+def stage_joint_weights(cfg: ProxConfig, joint_weights: np.ndarray,
+                        stage: int = 0) -> np.ndarray:
+    """Per-stage hand/face keypoint weights (the reference re-assigns
+    joint_weights[:, 25:76]/[76:] from curr_weights each stage,
+    fit_temp_loadprox_slide.py:525-528)."""
+    def at(lst):
+        return float(lst[min(stage, len(lst) - 1)])
+
+    jw = joint_weights.copy()
+    if cfg.use_hands:
+        jw[25:76] = at(cfg.hand_joints_weights)
+    if cfg.use_face:
+        jw[76:] = at(cfg.face_joints_weights)
+    for j in cfg.joints_to_ign:
+        if 0 <= int(j) < len(jw):
+            jw[int(j)] = 0.0
+    return jw
+
+
 def build_window_static(cfg: ProxConfig, assets: ProxAssets,
                         rec: ProxRecording, window_data: dict,
                         joint_weights: np.ndarray,
-                        infill_result=None) -> ProxStatic:
+                        infill_result=None, stage: int = 0) -> ProxStatic:
     model = assets.model
     V = model.num_verts
     camera = PerspectiveCamera(cfg.focal_length_x, cfg.focal_length_y,
@@ -221,15 +277,7 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
     if cfg.sdf_penetration or cfg.use_friction:
         sdf, sdf_packed, grid_min, grid_max = _load_sdf_cached(cfg, rec)
 
-    jw = joint_weights.copy()
-    if cfg.use_hands:
-        jw[25:76] = cfg.hand_joints_weights[-1]
-    if cfg.use_face:
-        jw[76:] = cfg.face_joints_weights[-1]
-    # re-apply ignored joints
-    for j in cfg.joints_to_ign:
-        if 0 <= int(j) < len(jw):
-            jw[int(j)] = 0.0
+    jw = stage_joint_weights(cfg, joint_weights, stage)
 
     _, body_mask = seg.head_and_body_masks(V)
 
@@ -302,7 +350,8 @@ def _make_warm_world_markers(assets, rec):
     from lemo_tpu.body_model import vposer as vp
 
     model = assets.model
-    fwd = make_forward_fn(model)
+    # fused=False: the window-parallel driver vmaps this forward
+    fwd = make_forward_fn(model, fused=False)
     Rw, tw = rec.load_cam2world()
     Rw, tw = jnp.asarray(Rw), jnp.asarray(tw)
     ids67 = jnp.asarray(mk.marker_indices(False, num_verts=model.num_verts))
@@ -457,12 +506,27 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     first_mask = jnp.asarray([i == 0 for i in range(n_windows)])
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
-    fitter = make_batched_window_fitter(
-        assets.model, assets.vposer_params, mapper, statics[0], weights,
-        maxiters=cfg.maxiters, lr=cfg.lr, mesh=mesh,
-        steps_per_dispatch=cfg.steps_per_dispatch)
-    opt_vars, betas, losses, batch_terms = fitter(
-        static_batch, warm, first_mask)
+    priors = build_priors(cfg)
+    n_stages = cfg.n_stages
+    losses_stages = []
+    for stage in range(n_stages):
+        w_s = weights_from_config(cfg, stage)
+        static_batch_s = _dc.replace(
+            static_batch, joint_weights=jnp.asarray(
+                stage_joint_weights(cfg, jw, stage)))
+        fitter = make_batched_window_fitter(
+            assets.model, assets.vposer_params, mapper, statics[0], w_s,
+            maxiters=cfg.maxiters, lr=cfg.lr, mesh=mesh,
+            steps_per_dispatch=cfg.steps_per_dispatch,
+            priors=priors, use_vposer=cfg.use_vposer)
+        opt_vars, betas, losses, batch_terms = fitter(
+            static_batch_s, warm, first_mask)
+        losses_stages.append(np.asarray(losses))
+        if stage + 1 < n_stages:
+            warm = dict(opt_vars)
+            warm["betas"] = betas
+        weights = w_s  # the polish pass below runs at final-stage weights
+    losses = np.concatenate(losses_stages, axis=1)
 
     sols = [{k: v[widx] for k, v in opt_vars.items()}
             for widx in range(n_windows)]
@@ -485,10 +549,13 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
         from lemo_tpu.fitting.prox.window import make_window_fitter
 
         spans = ds.windows
+        jw_final = jnp.asarray(stage_joint_weights(cfg, jw, n_stages - 1))
+        statics = [_dc.replace(s, joint_weights=jw_final) for s in statics]
         pfitter = make_window_fitter(
             assets.model, assets.vposer_params, mapper, statics[0],
             weights, maxiters=polish, lr=cfg.lr,
-            steps_per_dispatch=cfg.steps_per_dispatch)
+            steps_per_dispatch=cfg.steps_per_dispatch,
+            priors=priors, use_vposer=cfg.use_vposer)
         for widx in range(1, n_windows):
             s_prev, e_prev = spans[widx - 1]
             s_cur, _ = spans[widx]
@@ -515,15 +582,20 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     results = []
     for widx in range(n_windows):
         final = sols[widx]
-        body_pose = vp.decode(assets.vposer_params,
-                              final["pose_embedding"], "aa")
+        if cfg.use_vposer:
+            body_pose = vp.decode(assets.vposer_params,
+                                  final["pose_embedding"], "aa")
+            pose_embedding = np.asarray(final["pose_embedding"])
+        else:
+            body_pose = final["body_pose"]
+            pose_embedding = np.zeros((body_pose.shape[0], 32), np.float32)
         params_np = {k: np.asarray(v) for k, v in final.items()
                      if k != "pose_embedding"}
         params_np["betas"] = np.asarray(betas[widx])
         params_np["body_pose"] = np.asarray(body_pose)
         result = WindowResult(
             params=params_np,
-            pose_embedding=np.asarray(final["pose_embedding"]),
+            pose_embedding=pose_embedding,
             body_pose=np.asarray(body_pose),
             final_loss=float(loss_hists[widx][-1]),
             loss_history=loss_hists[widx],
@@ -626,7 +698,9 @@ def _fit_windows_sequential(cfg, assets, rec, ds, jw, mapper, weights,
                             results, warm_world_markers, prefetcher, fut,
                             save_extras=None):
     model = assets.model
-    window_fitter = None  # built from the first window, reused for all
+    n_stages = cfg.n_stages
+    priors = build_priors(cfg)
+    stage_fitters: dict = {}  # built from the first window, reused for all
     for widx in range(n_windows):
         t0 = time.time()
         if prefetcher:
@@ -645,19 +719,46 @@ def _fit_windows_sequential(cfg, assets, rec, ds, jw, mapper, weights,
                 assets.infill_ae_params, mv67, mj,
                 jnp.asarray(wd["marker_mask"]), assets.infill_stats)
 
-        static = build_window_static(cfg, assets, rec, wd, jw, infill_result)
-        if window_fitter is None:
-            from lemo_tpu.fitting.prox.window import make_window_fitter
+        # one full maxiters run per weight stage, the optimizer re-created
+        # each stage and the next stage warm-started from the previous
+        # stage's solution (fit_temp_loadprox_slide.py:507-528)
+        result = None
+        for stage in range(n_stages):
+            static = build_window_static(cfg, assets, rec, wd, jw,
+                                         infill_result, stage=stage)
+            if stage not in stage_fitters:
+                from lemo_tpu.fitting.prox.window import make_window_fitter
 
-            window_fitter = make_window_fitter(
-                model, assets.vposer_params, mapper, static, weights,
+                stage_fitters[stage] = make_window_fitter(
+                    model, assets.vposer_params, mapper, static,
+                    weights_from_config(cfg, stage),
+                    maxiters=cfg.maxiters, lr=cfg.lr,
+                    optim_type=cfg.optim_type,
+                    steps_per_dispatch=cfg.steps_per_dispatch,
+                    priors=priors, use_vposer=cfg.use_vposer)
+            result_s = fit_window(
+                model, assets.vposer_params, mapper, static,
+                weights_from_config(cfg, stage),
+                warm, first_window=(widx == 0),
                 maxiters=cfg.maxiters, lr=cfg.lr,
-                optim_type=cfg.optim_type,
-                steps_per_dispatch=cfg.steps_per_dispatch)
-        result = fit_window(
-            model, assets.vposer_params, mapper, static, weights,
-            warm, first_window=(widx == 0),
-            maxiters=cfg.maxiters, lr=cfg.lr, fitter=window_fitter)
+                fitter=stage_fitters[stage], use_vposer=cfg.use_vposer)
+            if result is None:
+                result = result_s
+            else:
+                result = dataclasses.replace(
+                    result_s,
+                    loss_history=np.concatenate(
+                        [result.loss_history, result_s.loss_history]),
+                    term_history=({
+                        k: np.concatenate([result.term_history[k], v])
+                        for k, v in result_s.term_history.items()}
+                        if result_s.term_history and result.term_history
+                        else result_s.term_history))
+            if stage + 1 < n_stages:
+                warm = {k: jnp.asarray(v)
+                        for k, v in result_s.params.items()}
+                warm["pose_embedding"] = jnp.asarray(
+                    result_s.pose_embedding)
         save_window_pkls(result, wd["fns"], result_folder,
                          camera_params=_CAMERA_PKL_PARAMS)
         if save_extras is not None:

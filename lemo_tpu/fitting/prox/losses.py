@@ -72,12 +72,6 @@ class ProxWeights:
     # st.sdf_packed holds fp8 quads instead of bf16 pairs (2 gathers,
     # 3.8x; ~2 mm SDF resolution) — set with ProxConfig.sdf_fp8
     sdf_fp8: bool = False
-    # Performance knob (default = exact reference parity): sample the
-    # scene SDF at every k-th body vertex and scale the penalty by k.
-    # The SDF gather is the costliest op of the whole loss (~60 ms/step
-    # at bs=100 on v5e, per-element bound); k=4 cuts it 4x while the
-    # subsampled vertices still cover the body densely (10475/4 ~ 2600).
-    sdf_vertex_stride: int = 1
 
 
 @dataclasses.dataclass
@@ -304,7 +298,8 @@ def infill_terms(verts_world, st: ProxStatic, w: ProxWeights,
 
 def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
                    st_template: ProxStatic, w: ProxWeights,
-                   num_expressions: int = 10):
+                   num_expressions: int = 10, priors: dict | None = None,
+                   use_vposer: bool = True):
     """Build loss(opt_vars, betas, st) -> (total, dict of terms).
 
     opt_vars: {transl, global_orient, left/right_hand_pose, jaw_pose,
@@ -312,8 +307,29 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
     'betas' is a frozen entry carried alongside. `st` is passed per call
     (a pytree) so one compiled loss serves every window; `st_template`
     only determines which terms exist (trace-time pruning).
+
+    `priors` maps {body, left_hand, right_hand, jaw, expr, shape} to
+    jittable callables from :func:`lemo_tpu.priors.body_priors
+    .create_prior` (cfg.*_prior_type; main_slide.py:199-237); missing
+    entries keep the L2 forms LEMO's shipped configs use. Reference
+    application semantics (fitting_temp_slide.py:583-615): the body
+    prior fires only when `use_vposer` is False (with VPoser the pose
+    term is the latent L2); hand/expr priors are summed then scaled by
+    weight**2; the jaw prior sees `jaw_pose * weight` pre-scaled.
+
+    `use_vposer=False` switches the pose parameterization: opt_vars
+    carries `body_pose` [T, 63] directly instead of `pose_embedding`
+    (fit_temp_loadprox_slide.py:257-267 use_vposer branch).
     """
     from lemo_tpu.body_model import vposer as vp
+
+    priors = dict(priors or {})
+    p_body = priors.get("body", l2_prior)
+    p_lhand = priors.get("left_hand", l2_prior)
+    p_rhand = priors.get("right_hand", l2_prior)
+    p_jaw = priors.get("jaw", l2_prior)
+    p_expr = priors.get("expr", l2_prior)
+    p_shape = priors.get("shape", l2_prior)
 
     jm = jnp.asarray(joint_mapper)
 
@@ -344,7 +360,9 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
         foot_sel = (onehot_rows(_np.concatenate(all_ids), V), slices)
 
     def loss_fn(opt_vars, betas, st: ProxStatic = st_template):
-        body_pose = vp.decode(vposer_params, opt_vars["pose_embedding"], "aa")
+        body_pose = (vp.decode(vposer_params, opt_vars["pose_embedding"],
+                               "aa")
+                     if use_vposer else opt_vars["body_pose"])
         params = {
             "transl": opt_vars["transl"],
             "global_orient": opt_vars["global_orient"],
@@ -366,18 +384,22 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
         proj = st.camera.project(mapped)
         terms["joint_loss"] = keypoint_loss(proj, st, w.data)
 
-        terms["pprior_loss"] = (opt_vars["pose_embedding"] ** 2).sum() * \
-            w.body_pose ** 2
-        terms["shape_loss"] = l2_prior(betas) * w.shape ** 2
+        if use_vposer:
+            terms["pprior_loss"] = (opt_vars["pose_embedding"] ** 2).sum() \
+                * w.body_pose ** 2
+        else:
+            terms["pprior_loss"] = jnp.sum(p_body(body_pose)) * \
+                w.body_pose ** 2
+        terms["shape_loss"] = jnp.sum(p_shape(betas)) * w.shape ** 2
         body_pose_full = out["full_pose"][:, 3:66]
         terms["angle_prior_loss"] = angle_prior(body_pose_full).sum() * \
             (w.bending_factor * w.body_pose) ** 2
         terms["hand_prior_loss"] = (
-            l2_prior(opt_vars["left_hand_pose"]) +
-            l2_prior(opt_vars["right_hand_pose"])) * w.hand_prior ** 2
-        terms["expression_loss"] = l2_prior(opt_vars["expression"]) * \
+            jnp.sum(p_lhand(opt_vars["left_hand_pose"])) +
+            jnp.sum(p_rhand(opt_vars["right_hand_pose"]))) * w.hand_prior ** 2
+        terms["expression_loss"] = jnp.sum(p_expr(opt_vars["expression"])) * \
             w.expr ** 2
-        terms["jaw_prior_loss"] = l2_prior(opt_vars["jaw_pose"] * w.jaw)
+        terms["jaw_prior_loss"] = jnp.sum(p_jaw(opt_vars["jaw_pose"] * w.jaw))
 
         if w.coll > 0 and st.faces is not None:
             terms["self_penetration_loss"] = w.coll * \
@@ -400,11 +422,8 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
         if w.sdf_penetration > 0 and st.sdf is not None:
             if st.sdf_candidate_ids is not None:
                 vsel = verts_world[:, st.sdf_candidate_ids]
-                scale = 1.0
             else:
-                k = max(int(w.sdf_vertex_stride), 1)
-                vsel = verts_world[:, ::k]
-                scale = float(k)
+                vsel = verts_world
             # bf16-packed grid halves the gather count (the dominant cost
             # of the whole window step on TPU); built by the driver when
             # cfg.sdf_packed is set
@@ -417,8 +436,7 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
                 sdf_vals = sample_sdf_world(st.sdf, vsel,
                                             st.grid_min, st.grid_max)
             pen = jnp.where(sdf_vals < 0, -sdf_vals, 0.0)
-            terms["sdf_penetration_loss"] = w.sdf_penetration * \
-                pen.sum() * scale
+            terms["sdf_penetration_loss"] = w.sdf_penetration * pen.sum()
         else:
             terms["sdf_penetration_loss"] = 0.0
 

@@ -33,10 +33,13 @@ class WindowResult:
     term_history: dict[str, np.ndarray] | None = None  # per-step loss terms
 
 
-def init_opt_vars(prox_params: dict[str, jnp.ndarray], T: int):
+def init_opt_vars(prox_params: dict[str, jnp.ndarray], T: int,
+                  use_vposer: bool = True):
     """Warm-start optimization variables from PROXD/previous-stage params
     (fit_temp_loadprox_slide.py:494-505). Betas are averaged over the
-    window and frozen (:497-498, :511)."""
+    window and frozen (:497-498, :511). With `use_vposer=False` the pose
+    variable is the raw 63-d body_pose (the reference's use_vposer=False
+    branch, :257-267)."""
     mean_betas = prox_params["betas"].mean(axis=0, keepdims=True)
     betas = jnp.broadcast_to(mean_betas, (T, mean_betas.shape[1]))
     opt_vars = {
@@ -48,8 +51,9 @@ def init_opt_vars(prox_params: dict[str, jnp.ndarray], T: int):
         "leye_pose": prox_params["leye_pose"],
         "reye_pose": prox_params["reye_pose"],
         "expression": prox_params["expression"],
-        "pose_embedding": prox_params["pose_embedding"],
     }
+    pose_key = "pose_embedding" if use_vposer else "body_pose"
+    opt_vars[pose_key] = prox_params[pose_key]
     return opt_vars, betas
 
 
@@ -85,6 +89,8 @@ def make_window_fitter(
     overlap_frac: float = 0.15,
     optim_type: str = "adam",
     steps_per_dispatch: int = 100,
+    priors: dict | None = None,
+    use_vposer: bool = True,
 ):
     """Build the per-window optimizer, compiled ONCE for the recording.
 
@@ -98,7 +104,8 @@ def make_window_fitter(
     fwd = make_forward_fn(model)
     loss_fn = make_prox_loss(fwd, model.consts, joint_mapper, vposer_params,
                              static_template, weights,
-                             model.config.num_expressions)
+                             model.config.num_expressions,
+                             priors=priors, use_vposer=use_vposer)
     mask_with = overlap_grad_mask(T, overlap_frac)
     erase_frames = int(T * overlap_frac)
 
@@ -126,7 +133,7 @@ def make_window_fitter(
         steppers: dict = {}
 
         def fit_lbfgs(static: ProxStatic, prox_params, first_window: bool):
-            opt_vars, betas = init_opt_vars(prox_params, T)
+            opt_vars, betas = init_opt_vars(prox_params, T, use_vposer)
             n_freeze = 0 if first_window else erase_n_static
             head = {k: x[:n_freeze] for k, x in opt_vars.items()}
             tail0 = {k: x[n_freeze:] for k, x in opt_vars.items()}
@@ -189,7 +196,7 @@ def make_window_fitter(
         return ov, opt_state, losses, terms
 
     def fit(static: ProxStatic, prox_params, first_window: bool):
-        opt_vars, betas = init_opt_vars(prox_params, T)
+        opt_vars, betas = init_opt_vars(prox_params, T, use_vposer)
         erase_n = jnp.asarray(0 if first_window else erase_frames)
         opt_state = opt.init(opt_vars)
         all_losses, all_terms = [], []
@@ -220,6 +227,8 @@ def make_batched_window_fitter(
     overlap_frac: float = 0.15,
     mesh=None,
     steps_per_dispatch: int = 100,
+    priors: dict | None = None,
+    use_vposer: bool = True,
 ):
     """Window-PARALLEL fitter: all windows of a recording optimized
     concurrently, the window axis sharded across the device mesh — the
@@ -246,10 +255,13 @@ def make_batched_window_fitter(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     T = static_template.gt_joints.shape[0]
-    fwd = make_forward_fn(model)
+    # fused=False: this fitter vmaps the forward over the window axis —
+    # batching the fused pallas_call would broadcast its dirs operand
+    fwd = make_forward_fn(model, fused=False)
     loss_fn = make_prox_loss(fwd, model.consts, joint_mapper, vposer_params,
                              static_template, weights,
-                             model.config.num_expressions)
+                             model.config.num_expressions,
+                             priors=priors, use_vposer=use_vposer)
     mask_with = overlap_grad_mask(T, overlap_frac)
     chunk = min(max(int(steps_per_dispatch), 1), maxiters)
     opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
@@ -333,7 +345,8 @@ def make_batched_window_fitter(
         opt_vars = {k: prox_params_batch[k] for k in
                     ("transl", "global_orient", "left_hand_pose",
                      "right_hand_pose", "jaw_pose", "leye_pose",
-                     "reye_pose", "expression", "pose_embedding")}
+                     "reye_pose", "expression",
+                     "pose_embedding" if use_vposer else "body_pose")}
         erase_n = jnp.where(first_mask_p, 0, int(T * overlap_frac))
         opt_state = jax.vmap(opt.init)(opt_vars)
         if mesh is not None:
@@ -370,15 +383,22 @@ def fit_window(
     maxiters: int = 900,
     lr: float = 0.005,
     fitter=None,
+    use_vposer: bool = True,
 ) -> WindowResult:
     """Fit one window. Pass `fitter` from :func:`make_window_fitter` to
     reuse the compilation across windows (the driver does)."""
     if fitter is None:
         fitter = make_window_fitter(model, vposer_params, joint_mapper,
-                                    static, weights, maxiters, lr)
+                                    static, weights, maxiters, lr,
+                                    use_vposer=use_vposer)
     final, losses, terms, betas = fitter(static, prox_params, first_window)
 
-    body_pose = vp.decode(vposer_params, final["pose_embedding"], "aa")
+    if use_vposer:
+        body_pose = vp.decode(vposer_params, final["pose_embedding"], "aa")
+        pose_embedding = np.asarray(final["pose_embedding"])
+    else:
+        body_pose = final["body_pose"]
+        pose_embedding = np.zeros((body_pose.shape[0], 32), np.float32)
     params_np = {k: np.asarray(v) for k, v in final.items()
                  if k != "pose_embedding"}
     params_np["betas"] = np.asarray(betas)
@@ -388,7 +408,7 @@ def fit_window(
                     if isinstance(terms, dict) else None)
     return WindowResult(
         params=params_np,
-        pose_embedding=np.asarray(final["pose_embedding"]),
+        pose_embedding=pose_embedding,
         body_pose=np.asarray(body_pose),
         final_loss=float(losses[-1]),
         loss_history=np.asarray(losses),

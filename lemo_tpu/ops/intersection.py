@@ -192,12 +192,15 @@ def self_intersection_loss(
 #   'pallas' - fused VMEM-resident kernel (ops/intersection_pallas.py):
 #              energy AND gradients in one O(F^2) sweep with exact
 #              tile-sphere block skipping (interpreter-mode on CPU)
-#   'dense'  - the XLA blockwise sweep above (default until the TPU A/B
-#              lands; scripts/ab_intersection_tpu.py)
+#   'dense'  - the XLA blockwise sweep above
 # Both compute identical masks/energy; the dispatcher falls back to
 # dense when part filtering needs > 32 parts (the Pallas filter is a
 # uint32 bitmask).
-INTERSECTION_IMPL = "dense"
+# Measured on the real chip (scripts/ab_intersection_tpu.py, v5e,
+# F=20946, value_and_grad): B=4 dense 138.7 ms/frame vs pallas
+# 25.7 ms/frame (5.4x); energy rel diff 3.5e-7, grad max rel 2.6e-5 —
+# numbers in PERF.md. Hence 'auto' (pallas on TPU, dense elsewhere).
+INTERSECTION_IMPL = "auto"
 
 
 def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,

@@ -45,6 +45,31 @@ def aa_to_matrot(aa: jnp.ndarray) -> jnp.ndarray:
     return rot.reshape(*batch_shape, 3, 3)
 
 
+def aa_to_matrot_planes(p: jnp.ndarray) -> jnp.ndarray:
+    """Plane-major Rodrigues: axis-angle planes [3, J, B] -> rotation
+    planes [9, J, B] (row k = 3m+n holds R[m, n]).
+
+    Algebraically identical to :func:`aa_to_matrot` (same `aa + 1e-8`
+    regularization; K^2 written in its closed form r r^T - I for unit r),
+    expressed as pure elementwise ops on the planes so XLA fuses the
+    whole conversion into the surrounding plane-layout pipeline — no
+    [B, J, 3, 3] intermediate, no transposes (the fused LBS path,
+    lbs._lbs_fused)."""
+    x = p[0] + _EPS
+    y = p[1] + _EPS
+    z = p[2] + _EPS
+    angle = jnp.sqrt(x * x + y * y + z * z)
+    rx, ry, rz = x / angle, y / angle, z / angle
+    s = jnp.sin(angle)
+    c = jnp.cos(angle)
+    C = 1.0 - c
+    return jnp.stack([
+        c + C * rx * rx, -s * rz + C * rx * ry, s * ry + C * rx * rz,
+        s * rz + C * rx * ry, c + C * ry * ry, -s * rx + C * ry * rz,
+        -s * ry + C * rx * rz, s * rx + C * ry * rz, c + C * rz * rz,
+    ])
+
+
 def matrot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrices [..., 3, 3] -> unit quaternions [..., 4] (w, x, y, z).
 

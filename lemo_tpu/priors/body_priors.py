@@ -61,13 +61,23 @@ class MaxMixturePrior:
 
 
 def create_prior(prior_type: str, **kwargs):
-    """Factory matching temp_prox/prior.py:36-50."""
+    """Factory matching temp_prox/prior.py:36-50.
+
+    For ``gmm``, pass either ``gmm_path`` directly or the reference's
+    ``prior_folder`` + ``num_gaussians`` pair (the pickle is then
+    ``<prior_folder>/gmm_{num_gaussians:02d}.pkl``, prior.py:119-121)."""
     if prior_type == "l2":
         return l2_prior
     if prior_type == "angle":
         return angle_prior
     if prior_type == "gmm":
         path = kwargs.get("gmm_path")
+        if not path:
+            import os.path as osp
+
+            folder = kwargs.get("prior_folder", "priors")
+            n = int(kwargs.get("num_gaussians", 8))
+            path = osp.join(osp.expandvars(folder), f"gmm_{n:02d}.pkl")
         return MaxMixturePrior.from_pickle(path)
     if prior_type in (None, "none"):
         return lambda *a, **k: 0.0
