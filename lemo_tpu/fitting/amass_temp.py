@@ -67,21 +67,33 @@ def smoothness_prior_loss(enc_params, markers_with_hand, joints_frame0,
 
 
 def contact_friction_loss(verts, contact_lbl, foot_ids, fps: float = 30.0,
-                          vel_thresh: float = 0.1):
+                          vel_thresh: float = 0.1, foot_sel=None):
     """Hinge on contact-vertex speeds (opt_amass_temp.py:406-447).
 
     verts: [T, V, 3]; contact_lbl: [T, 4] (lheel, rheel, ltoe, rtoe);
     foot_ids: dict of vertex-id arrays. Per foot part, averages speeds
     exceeding 0.1 m/s over frames labeled in contact.
+
+    foot_sel: optional (one-hot [Nf, V], {part: slice}) built by the
+    fitter — selecting feet FIRST (an MXU matmul) and differencing the
+    selected rows skips materializing the [T-1, V, 3] velocity field and
+    its scatter-add backward (selection is linear, so the velocity is
+    identical).
     """
-    vel = (verts[1:] - verts[:-1]) * fps  # [T-1, V, 3]
+    parts = ["left_heel", "right_heel", "left_toe", "right_toe"]
+    if foot_sel is not None:
+        sel, slices = foot_sel
+        feet = take_rows(verts, sel)                   # [T, Nf, 3]
+        vel_f = (feet[1:] - feet[:-1]) * fps
+        per_part = {p: vel_f[:, slices[p], :] for p in parts}
+    else:
+        vel = (verts[1:] - verts[:-1]) * fps           # [T-1, V, 3]
+        per_part = {p: vel[:, jnp.asarray(foot_ids[p]), :] for p in parts}
     total = 0.0
-    for i, part in enumerate(["left_heel", "right_heel", "left_toe",
-                              "right_toe"]):
-        ids = jnp.asarray(foot_ids[part])
+    for i, part in enumerate(parts):
         # eps-guarded norm: d|v|/dv is NaN at v=0 (static feet), and the
         # NaN survives multiplication by a zero mask
-        speeds = jnp.sqrt((vel[:, ids, :] ** 2).sum(-1) + 1e-12)  # [T-1, n]
+        speeds = jnp.sqrt((per_part[part] ** 2).sum(-1) + 1e-12)
         w = contact_lbl[:-1, i][:, None]  # contact frames only
         over = (speeds > vel_thresh).astype(speeds.dtype) * w
         total = total + jnp.sum(speeds * over) / jnp.maximum(over.sum(), 1.0)
@@ -113,6 +125,16 @@ def _make_fit_core(
     # marker rows measured ~0.8 ms of the ~3.7 ms step (see ops/select.py)
     sel67 = onehot_rows(marker_ids_67, V)
     sel81 = onehot_rows(marker_ids_81, V)
+    import numpy as _np
+
+    _parts = ["left_heel", "right_heel", "left_toe", "right_toe"]
+    _all_ids, _slices, _off = [], {}, 0
+    for _p in _parts:
+        _ids = _np.asarray(foot_ids[_p])
+        _slices[_p] = slice(_off, _off + len(_ids))
+        _all_ids.append(_ids)
+        _off += len(_ids)
+    foot_sel = (onehot_rows(_np.concatenate(_all_ids), V), _slices)
     lr_table = piecewise_lr([(0, 0.01), (61, 0.005)], num_steps)
 
     def loss_fn(v, shape10, markers_target, contact_lbl):
@@ -127,16 +149,19 @@ def _make_fit_core(
         loss_vposer = (x72[:, 16:48] ** 2).mean()
         loss_shape = (x72[:, 6:16] ** 2).mean()
         loss_hand = (x72[:, 48:] ** 2).mean()
-        loss_smooth = smoothness_prior_loss(
-            smooth_enc_params, take_rows(verts, sel81),
-            out["joints"][0, :25], smooth_stats)
-        loss_cv = contact_friction_loss(verts, contact_lbl, foot_ids)
-        return (weights.rec_markers * loss_marker
-                + weights.vposer * loss_vposer
-                + weights.shape * loss_shape
-                + weights.hand * loss_hand
-                + weights.smooth * loss_smooth
-                + weights.contact_vel * loss_cv)
+        total = (weights.rec_markers * loss_marker
+                 + weights.vposer * loss_vposer
+                 + weights.shape * loss_shape
+                 + weights.hand * loss_hand)
+        # zero-weight terms pruned at trace time (weights are static)
+        if weights.smooth:
+            total = total + weights.smooth * smoothness_prior_loss(
+                smooth_enc_params, take_rows(verts, sel81),
+                out["joints"][0, :25], smooth_stats)
+        if weights.contact_vel:
+            total = total + weights.contact_vel * contact_friction_loss(
+                verts, contact_lbl, foot_ids, foot_sel=foot_sel)
+        return total
 
     def fit_core(markers_target, contact_lbl, init72):
         shape10 = init72[:, 6:16]  # betas frozen (opt_amass_temp.py:335)

@@ -122,8 +122,9 @@ def main(iters: int = 30) -> None:
     print(f"{'iter':>4}  {'ours(bisect)':>14}  {'ref(cubic)':>14}")
     for i in range(0, iters, max(iters // 15, 1)):
         print(f"{i:>4}  {losses_ours[i]:>14.6f}  {losses_ref[i]:>14.6f}")
-    print(f"final: ours {f_final_ours:.6f} ({n_eval_ours} fn evals), "
-          f"ref {f_final_ref:.6f} ({n_eval_ref} fn evals)")
+    del n_eval_ours  # ours evaluates inside the jitted loop (not bridged)
+    print(f"final: ours {f_final_ours:.6f} (fn evals on-device, "
+          f"not bridged), ref {f_final_ref:.6f} ({n_eval_ref} fn evals)")
 
     target = max(f_final_ours, f_final_ref)
     it_ours = int(np.argmax(losses_ours <= target)) \

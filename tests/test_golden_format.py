@@ -63,6 +63,66 @@ class TestGoldenOutputs:
         np.testing.assert_allclose(R1, R2, atol=1e-4)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(GOLDEN_T), reason="goldens absent")
+def test_golden_fixed_point_stage2_recovery():
+    """Production-shape fixed-point check with zero licensed assets:
+    markers generated from the golden Stage-2 params [119, 72]
+    (res_opt_amass_temp/TotalCapture) through the FULL-SIZE synthetic
+    SMPL-X become the fitting target, and the real Stage-2 fitter starts
+    from the golden Stage-1 params (res_opt_amass_perframe). Since the
+    golden Stage-2 solution is (near) a minimizer of the marker term by
+    construction, the fitter must recover it: marker error to the target
+    drops well below the Stage-1 starting error. This exercises the
+    optimizer + model + prior stack at exactly the golden layout."""
+    from lemo_tpu.body_model import load_model, make_forward_fn
+    from lemo_tpu.body_model import vposer as vp
+    from lemo_tpu.data.markers import marker_indices
+    from lemo_tpu.data.segments import foot_vertex_ids
+    from lemo_tpu.fitting import amass_temp as s2
+    from lemo_tpu.fitting import params as P
+    from lemo_tpu.testing.synthetic import synthetic_smplx_npz
+
+    clip = sorted(glob.glob(
+        os.path.join(GOLDEN_T, "body_params_opt_clip_*.npy")))[0]
+    x72_gt = np.load(clip).astype(np.float32)                  # [119, 72]
+    x72_init = np.load(os.path.join(
+        GOLDEN_PF, os.path.basename(clip))).astype(np.float32)
+
+    model = load_model(synthetic_smplx_npz(full_size=True),
+                       use_pca=True, num_pca_comps=12)
+    vpp = vp.init_vposer(jax.random.PRNGKey(0))
+    ids67 = marker_indices(False)
+    ids81 = marker_indices(True)
+    fwd = jax.jit(make_forward_fn(model))
+
+    def markers67(x72):
+        sp = P.smplx_params_from_72(jnp.asarray(x72), vpp,
+                                    model.config.num_expressions)
+        return fwd(sp, model.consts)["vertices"][:, jnp.asarray(ids67)]
+
+    target = markers67(x72_gt)
+    err0 = float(jnp.abs(markers67(x72_init) - target).mean())
+
+    # data-dominant weights: with the synthetic model, the golden params
+    # minimize only the marker term (the learned smoothness prior and
+    # the contact hinge were trained/labeled on the REAL body, so at
+    # reference weights they pull the synthetic-marker fit off the
+    # target — measured: 27 mm start grows to 48-53 mm; with the data
+    # term dominant the fit recovers to ~3.4 mm in 30 steps)
+    w = s2.Stage2Weights(smooth=0.0, contact_vel=0.0,
+                         vposer=1e-4, shape=1e-4, hand=1e-4)
+    fit = s2.make_temporal_fitter(model, vpp, None, None, ids67, ids81,
+                                  foot_vertex_ids(), num_steps=30,
+                                  weights=w)
+    x72_fit, losses = fit(target, jnp.zeros((x72_gt.shape[0], 4)),
+                          jnp.asarray(x72_init))
+    err1 = float(jnp.abs(markers67(x72_fit) - target).mean())
+    assert np.isfinite(np.asarray(losses)).all()
+    assert err1 < 0.3 * err0, (err0, err1)
+    assert err1 < 0.005, (err0, err1)  # recovers to < 5 mm mean |.|
+
+
 def test_metrics_module():
     from lemo_tpu.data.segments import foot_vertex_ids
     from lemo_tpu.utils import metrics as M

@@ -158,6 +158,17 @@ class TestMultiStageSchedules:
         assert ProxConfig(data_weights=[1.0, 0.5]).n_stages == 2
         assert ProxConfig(num_stages=3).n_stages == 3
 
+    def test_multistage_yaml_parses(self):
+        from lemo_tpu.config.prox_config import parse_config
+
+        yml = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "cfg_files",
+            "PROXD_temp_S2_multistage.yaml")
+        cfg = parse_config(["--config", yml])
+        assert cfg.n_stages == 2
+        assert cfg.stage_weights(0)["sdf_penetration"] == 0.001
+        assert cfg.stage_weights(1)["sdf_penetration"] == 0.003
+
     def test_stage_joint_weights(self):
         cfg = ProxConfig(hand_joints_weights=[2.0, 0.5],
                          face_joints_weights=[2.0, 1.5])
