@@ -345,7 +345,7 @@ def lbs(
 
     Faithful to reference lbs.py:34-119, with matmuls arranged for the MXU.
     `fused_consts` (load_model attaches them: fused_dirs, lbs_w_pad,
-    j_template, j_shapedirs) enables the single-kernel vertex path.
+    j_ext) enables the single-kernel vertex path.
     """
     B = shape_components.shape[0]
     V = v_template.shape[0]

@@ -89,6 +89,7 @@ class TestStage1Fit:
 
 
 class TestInfillStage:
+    @pytest.mark.slow
     def test_finetune_reduces_visible_residual(self):
         ae = init_infill_ae(jax.random.PRNGKey(1), in_channel=4)
         clip = jnp.asarray(RNG.randn(1, 4, 208, 119) * 0.5, jnp.float32)

@@ -41,6 +41,7 @@ def setup():
     return model, vpp, ids67, ids81, enc, stats, feet
 
 
+@pytest.mark.slow
 def test_temporal_fit_descends(setup):
     model, vpp, ids67, ids81, enc, stats, feet = setup
     T = 12
@@ -108,6 +109,7 @@ def test_smoothness_prior_prefers_smooth(setup):
     assert l_smooth < l_jerky * 0.5, (l_smooth, l_jerky)
 
 
+@pytest.mark.slow
 def test_batched_fitter_matches_per_clip(setup):
     """vmapped clip batching must reproduce the single-clip fits."""
     import jax.numpy as jnp

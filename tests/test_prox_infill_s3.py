@@ -22,6 +22,7 @@ REF_ENC = "/root/reference/runs/15217/Enc_last_model.pkl"
 
 
 @pytest.mark.skipif(not os.path.exists(REF_STATS), reason="stats absent")
+@pytest.mark.slow
 def test_s3_pipeline_with_infill_prior():
     base = tempfile.mkdtemp()
     info = write_synthetic_prox_recording(base, num_frames=18, seed=3,
@@ -72,6 +73,7 @@ ASSET_AE = os.path.join(os.path.dirname(os.path.dirname(
 
 @pytest.mark.skipif(not os.path.exists(ASSET_AE),
                     reason="shipped infill asset absent")
+@pytest.mark.slow
 def test_s3_runs_from_config_with_shipped_asset():
     """S3 with NO extra assets: AE_infill_path empty -> load_assets falls
     back to the shipped retrained AE + stats (VERDICT r1 item 6 — the

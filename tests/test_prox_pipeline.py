@@ -77,6 +77,7 @@ class TestProxData:
 
 
 class TestProxFit:
+    @pytest.mark.slow
     def test_full_pipeline_two_windows(self, prox_base):
         base, info = prox_base
         model = load_model(info["model_dict"], use_pca=True,
@@ -314,6 +315,7 @@ class TestMissingDetections:
 
 
 class TestDepthTermPipeline:
+    @pytest.mark.slow
     def test_s2m_m2s_end_to_end(self, prox_base):
         """Depth (s2m/m2s) term through the full pipeline: Kinect depth ->
         scan clouds -> per-frame z-buffer visibility (with body-topology
@@ -583,6 +585,7 @@ def _all_terms_setup(info, **cfg_overrides):
 
 
 class TestAllTermsPipeline:
+    @pytest.mark.slow
     def test_every_loss_family_composes(self, prox_base):
         """All 11 loss families live in ONE fit (the reference ships
         s2m/m2s/contact/interpenetration off because of their CUDA-stack
@@ -600,6 +603,7 @@ class TestAllTermsPipeline:
         for k in ("joint_loss", "s2m_dist", "m2s_dist", "contact_loss"):
             assert float(np.abs(th[k]).sum()) > 0, k
 
+    @pytest.mark.slow
     def test_all_terms_window_parallel(self):
         """The flagship multi-chip path (window axis sharded over the
         mesh) composes with EVERY loss family — infill targets, part
