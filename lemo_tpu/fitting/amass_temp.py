@@ -66,6 +66,35 @@ def smoothness_prior_loss(enc_params, markers_with_hand, joints_frame0,
     return (dz ** 2).mean()
 
 
+def smoothness_prior_loss_batched(enc_params, markers, joints_frame0,
+                                  stats: GlobalStats,
+                                  reduce_clips: bool = True):
+    """Clip-batched form of :func:`smoothness_prior_loss`: markers
+    [C, T, 81, 3], joints_frame0 [C, 25, 3] -> SUM of per-clip latent-
+    acceleration losses. The C clip images run through the frozen
+    encoder as ONE N=C convolution batch — the conv prior is the FLOP
+    anchor of the Stage-2 step and batch-1 convs waste most of the MXU
+    (PERF.md round-3 anatomy), so this is where clip batching pays."""
+    from lemo_tpu.data.repr import frame0_normalizer
+
+    C, T = markers.shape[0], markers.shape[1]
+    R = jax.vmap(lambda j: frame0_normalizer(j)[0])(
+        jax.lax.stop_gradient(joints_frame0))          # [C, 3, 3]
+    origin = jax.lax.stop_gradient(markers[:, 0, 0])   # [C, 3]
+    # default precision: matches the single-clip form's jnp.matmul
+    m = jnp.einsum("ctmk,ckn->ctmn", markers - origin[:, None, None], R)
+    clip = m.reshape(C, T, -1)
+    clip = (clip - jnp.asarray(stats.Xmean, clip.dtype)) / \
+        jnp.asarray(stats.Xstd, clip.dtype)
+    img = clip.swapaxes(1, 2)[:, None]                 # [C, 1, d, T]
+    vel = img[..., 1:] - img[..., :-1]
+    vel = reflect_pad_dt(vel)
+    z, _ = smooth_enc_forward(enc_params, vel, downsample=False)
+    dz = z[..., 1:] - z[..., :-1]
+    per_clip = (dz ** 2).mean(axis=(1, 2, 3))
+    return per_clip.sum() if reduce_clips else per_clip
+
+
 def contact_friction_loss(verts, contact_lbl, foot_ids, fps: float = 30.0,
                           vel_thresh: float = 0.1, foot_sel=None):
     """Hinge on contact-vertex speeds (opt_amass_temp.py:406-447).
@@ -98,6 +127,122 @@ def contact_friction_loss(verts, contact_lbl, foot_ids, fps: float = 30.0,
         over = (speeds > vel_thresh).astype(speeds.dtype) * w
         total = total + jnp.sum(speeds * over) / jnp.maximum(over.sum(), 1.0)
     return total
+
+
+def contact_friction_loss_batched(feet, contact_lbl, part_slices,
+                                  fps: float = 30.0,
+                                  vel_thresh: float = 0.1,
+                                  reduce_clips: bool = True):
+    """Clip-batched friction: pre-selected foot vertices [C, T, Nf, 3]
+    + labels [C, T, 4] -> per-clip hinge losses [C] (or their sum;
+    velocities are differenced WITHIN each clip)."""
+    vel = (feet[:, 1:] - feet[:, :-1]) * fps           # [C, T-1, Nf, 3]
+    per_clip = 0.0
+    for i, part in enumerate(["left_heel", "right_heel", "left_toe",
+                              "right_toe"]):
+        vp_ = vel[:, :, part_slices[part], :]
+        speeds = jnp.sqrt((vp_ ** 2).sum(-1) + 1e-12)  # [C, T-1, n]
+        w = contact_lbl[:, :-1, i][..., None]
+        over = (speeds > vel_thresh).astype(speeds.dtype) * w
+        num = (speeds * over).sum(axis=(1, 2))         # [C]
+        den = jnp.maximum(over.sum(axis=(1, 2)), 1.0)
+        per_clip = per_clip + num / den
+    return per_clip.sum() if reduce_clips else per_clip
+
+
+def _make_fit_core_folded(
+    model: SmplxModel,
+    vposer_params: dict,
+    smooth_enc_params: dict,
+    smooth_stats: GlobalStats,
+    marker_ids_67,
+    marker_ids_81,
+    foot_ids: dict,
+    num_steps: int = 100,
+    weights: Stage2Weights = Stage2Weights(),
+    fused: bool = True,
+):
+    """Clip-batched Stage-2 fit core with the clip axis FOLDED into the
+    forward's frame batch (C*T frames through one SMPL-X forward) instead
+    of vmapped. Pass fused=False when the clip axis is sharded over a
+    REAL device mesh (clip_sharded_fit): the GSPMD partitioner treats
+    the fused pallas_call as an opaque custom call and would gather its
+    operands to one device.
+
+    Why: vmap blocks the fused Pallas vertex path (batching a
+    pallas_call broadcasts its 64 MB dirs operand) and runs the conv
+    prior at batch 1 per clip; folding keeps the fused kernel and runs
+    one N=C convolution. The math is the per-clip SUM of the single-clip
+    losses — clip parameters are disjoint, so gradients equal the
+    vmapped form's, and Adam is elementwise, so trajectories match up to
+    f32 reassociation. One semantic difference: the NaN guard freezes
+    ALL clips when any clip's loss goes non-finite (the vmapped form
+    freezes per clip).
+    """
+    fwd = make_forward_fn(model, fused=fused)
+    V = model.consts["v_template"].shape[0]
+    sel67 = onehot_rows(marker_ids_67, V)
+    sel81 = onehot_rows(marker_ids_81, V)
+    import numpy as _np
+
+    _parts = ["left_heel", "right_heel", "left_toe", "right_toe"]
+    _all_ids, _slices, _off = [], {}, 0
+    for _p in _parts:
+        _ids = _np.asarray(foot_ids[_p])
+        _slices[_p] = slice(_off, _off + len(_ids))
+        _all_ids.append(_ids)
+        _off += len(_ids)
+    sel_feet = onehot_rows(_np.concatenate(_all_ids), V)
+    lr_table = piecewise_lr([(0, 0.01), (61, 0.005)], num_steps)
+
+    def loss_fn(v, shape10, markers_target, contact_lbl):
+        C, T = markers_target.shape[0], markers_target.shape[1]
+        x72 = jnp.concatenate(
+            [v["transl"], rot6d_to_aa(v["rot6d"]), shape10, v["other"]],
+            axis=-1)                                    # [C, T, 72]
+        sp = P.smplx_params_from_72(x72.reshape(C * T, 72), vposer_params,
+                                    model.config.num_expressions)
+        out = fwd(sp, model.consts)
+        verts = out["vertices"]                         # [C*T, V, 3]
+        mk = take_rows(verts, sel67).reshape(C, T, 67, 3)
+        per_clip = weights.rec_markers * \
+            jnp.abs(mk - markers_target).mean(axis=(1, 2, 3))  # [C]
+        per_clip = per_clip + weights.vposer * \
+            (x72[..., 16:48] ** 2).mean(axis=(1, 2))
+        per_clip = per_clip + weights.shape * \
+            (x72[..., 6:16] ** 2).mean(axis=(1, 2))
+        per_clip = per_clip + weights.hand * \
+            (x72[..., 48:] ** 2).mean(axis=(1, 2))
+        if weights.smooth:
+            m81 = take_rows(verts, sel81).reshape(C, T, -1, 3)
+            j0 = out["joints"].reshape(C, T, -1, 3)[:, 0, :25]
+            per_clip = per_clip + weights.smooth * \
+                smoothness_prior_loss_batched(
+                    smooth_enc_params, m81, j0, smooth_stats,
+                    reduce_clips=False)
+        if weights.contact_vel:
+            feet = take_rows(verts, sel_feet).reshape(C, T, -1, 3)
+            per_clip = per_clip + weights.contact_vel * \
+                contact_friction_loss_batched(feet, contact_lbl, _slices,
+                                              reduce_clips=False)
+        return per_clip.sum(), per_clip
+
+    def fit_core(markers_target, contact_lbl, init72):
+        shape10 = init72[..., 6:16]  # betas frozen (opt_amass_temp.py:335)
+        init_vars = {
+            "transl": init72[..., 0:3],
+            "rot6d": aa_to_rot6d(init72[..., 3:6]),
+            "other": init72[..., 16:],
+        }
+        final, _, per_clip = run_adam(
+            lambda v: loss_fn(v, shape10, markers_target, contact_lbl),
+            init_vars, num_steps, lr_table, has_aux=True)
+        x72 = jnp.concatenate(
+            [final["transl"], rot6d_to_aa(final["rot6d"]), shape10,
+             final["other"]], axis=-1)
+        return x72, per_clip.T                          # losses [C, S]
+
+    return fit_core
 
 
 def _make_fit_core(
@@ -187,16 +332,25 @@ def make_temporal_fitter(*args, **kwargs):
     return jax.jit(_make_fit_core(*args, **kwargs))
 
 
-def make_temporal_fitter_batched(*args, **kwargs):
+def make_temporal_fitter_batched(*args, impl: str = "fold", **kwargs):
     """Clip-BATCHED Stage-2 fitter: every input/output gains a leading
-    clip axis C (markers [C,T,67,3], ...).
+    clip axis C (markers [C,T,67,3], ...). This is the production corpus
+    layout: one chip fits C clips at once, and the device mesh shards
+    the corpus (parallel.clip_sharded_fit).
 
-    The single-clip optimizer step is latency-bound on TPU (~2.5 ms for
-    ~10 GFLOP at T=100 — far under the chip's compute and bandwidth
-    ceilings), so vmapping clips multiplies throughput almost for free.
-    This is the production corpus layout: one chip fits C clips at once,
-    and the device mesh shards the corpus (parallel.clip_sharded_fit).
+    impl='fold' (default): the clip axis is folded into the forward's
+    frame batch — the fused Pallas vertex path stays active and the conv
+    prior runs as one N=C batch (PERF.md round-3: the conv is the step's
+    FLOP anchor and wastes most of the MXU at N=1). Gradients equal the
+    vmapped form's (clip parameters are disjoint, Adam is elementwise);
+    trajectories match up to f32 reassociation.
+
+    impl='vmap': the original vmapped core (per-clip NaN freeze; the
+    fused kernel is disabled — batching a pallas_call would broadcast
+    its dirs operand).
     """
+    if impl == "fold":
+        return jax.jit(_make_fit_core_folded(*args, **kwargs))
     kwargs["fused"] = False
     return jax.jit(jax.vmap(_make_fit_core(*args, **kwargs)))
 

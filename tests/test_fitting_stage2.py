@@ -138,3 +138,29 @@ def test_batched_fitter_matches_per_clip(setup):
         # expected
         np.testing.assert_allclose(np.asarray(xb[c]), np.asarray(xs),
                                    rtol=6e-2, atol=2e-3)
+
+
+def test_folded_batched_matches_vmap(setup):
+    """impl='fold' (clip axis folded into the forward batch; fused-path
+    compatible) reproduces impl='vmap' trajectories and returns the same
+    per-clip loss layout [C, S]."""
+    model, vpp, ids67, ids81, enc, stats, feet = setup
+    rng = np.random.RandomState(7)
+    C, T, S = 3, 10, 5
+    target = jnp.asarray(rng.randn(C, T, 67, 3).astype(np.float32) * 0.2)
+    contact = jnp.asarray((rng.rand(C, T, 4) > 0.5).astype(np.float32))
+    init72 = jnp.asarray(rng.randn(C, T, 72).astype(np.float32) * 0.1)
+
+    fold = s2.make_temporal_fitter_batched(model, vpp, enc, stats,
+                                           ids67, ids81, feet,
+                                           num_steps=S, impl="fold")
+    vm = s2.make_temporal_fitter_batched(model, vpp, enc, stats,
+                                         ids67, ids81, feet,
+                                         num_steps=S, impl="vmap")
+    xf, lf = fold(target, contact, init72)
+    xv, lv = vm(target, contact, init72)
+    assert lf.shape == (C, S) and lv.shape == (C, S)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lv),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xv),
+                               rtol=6e-2, atol=2e-3)
