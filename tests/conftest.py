@@ -25,8 +25,30 @@ jax.config.update("jax_enable_x64", False)
 # and separate jit closures can't share the in-process cache); the disk
 # cache dedupes by HLO hash. Measured 2.7x on the window-parallel file
 # warm; identical first-run compiles within one run also hit it.
+#
+# The cache dir is keyed by the host CPU: XLA's CPU AOT loader accepts
+# executables compiled for a different machine type with only a warning
+# ("could lead to execution errors such as SIGILL"), and cross-host reuse
+# was observed to silently change f32 results (razor-edge gate flips in
+# the intersection tests) when rounds run on heterogeneous machines.
+import hashlib
+
+
+def _host_key() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_compilation_cache")
+    os.path.abspath(__file__))), ".jax_compilation_cache", _host_key())
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
