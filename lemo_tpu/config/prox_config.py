@@ -134,6 +134,15 @@ class ProxConfig:
     # frames per chunk of the self-intersection term's dense fallback
     # (memory/latency trade; ops.intersection.batched_self_intersection)
     coll_frame_chunk: int = 2
+    # temporal-coherence broad phase for the self-intersection term
+    # (opt-in): evaluate the cone energy only on the K faces whose
+    # warm-start body has a valid collision partner within
+    # `coll_candidates_margin` of bounding-sphere overlap (per frame,
+    # computed once per window like sdf_candidates). O(K^2) per step
+    # instead of O(F^2) — the amortized analog of the reference's
+    # per-step CUDA BVH rebuild. 0 = off (full sweep, exact).
+    coll_candidates: int = 0
+    coll_candidates_margin: float = 0.05
     # smoothness terms
     smooth_acc: bool = False
     smooth_acc_weights: list = dataclasses.field(default_factory=lambda: [1e6])

@@ -187,6 +187,121 @@ def self_intersection_loss(
     return total
 
 
+@partial(jax.jit, static_argnames=("K", "col_block"))
+def intersection_candidates(
+    verts: jnp.ndarray,          # [V, 3]
+    faces: jnp.ndarray,          # [F, 3] int
+    K: int = 4096,
+    margin: float = 0.05,
+    segm: jnp.ndarray | None = None,
+    ign_table: jnp.ndarray | None = None,
+    col_block: int = 2048,
+):
+    """Temporal-coherence broad phase: the K faces nearest to a valid
+    collision partner, from STOP-GRADIENT geometry.
+
+    For each face computes gap_i = min_j |c_i - c_j| - (r_i + r_j) over
+    valid partners j (non-adjacent, not part-filtered) — the signed
+    bounding-sphere clearance, negative iff the energy's sphere test
+    fires. Faces with gap < margin could start overlapping a partner
+    after the surface moves by margin/2; the K smallest-gap face ids are
+    returned (extra ids beyond the active set are harmless — the subset
+    energy re-applies every mask).
+
+    This is the role the reference's per-step CUDA BVH rebuild plays
+    (fit_temp_loadprox_slide.py:319-344), amortized: one O(F^2)
+    forward-only sweep per window/refresh instead of an O(F^2)
+    energy+gradient sweep per optimizer step.
+
+    Returns (ids [K] int32, n_within scalar — how many faces fall inside
+    the margin; if n_within > K the caller should warn, as with
+    cfg.sdf_candidates).
+    """
+    verts = jax.lax.stop_gradient(verts)
+    c, n, r = face_geometry(verts, faces)
+    del n
+    F = faces.shape[0]
+    c2 = (c ** 2).sum(-1)
+
+    irow = None
+    if segm is not None and ign_table is not None:
+        P = ign_table.shape[0]
+        irow = (jax.nn.one_hot(segm, P, dtype=jnp.float32)
+                @ ign_table.astype(jnp.float32))             # [F, P]
+
+    pad = (-F) % col_block
+
+    def padc(x, fill=0):
+        if not pad:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    n_blk = (F + pad) // col_block
+    xs = {"cj": padc(c).reshape(n_blk, col_block, 3),
+          "rj": padc(r).reshape(n_blk, col_block),
+          "validj": padc(jnp.ones((F,), jnp.float32)).reshape(n_blk,
+                                                              col_block),
+          "fj": padc(faces, fill=-1).reshape(n_blk, col_block, 3)}
+    if irow is not None:
+        xs["segj"] = padc(segm).reshape(n_blk, col_block)
+
+    BIG = jnp.asarray(1e9, jnp.float32)
+
+    def step(gap_min, inp):
+        cj, rj, validj, fj = inp["cj"], inp["rj"], inp["validj"], inp["fj"]
+        hi = jax.lax.Precision.HIGHEST
+        d2 = (c2[:, None] + (cj ** 2).sum(-1)[None]
+              - 2.0 * jnp.matmul(c, cj.T, precision=hi))
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        rsum = r[:, None] + rj[None, :]
+        gap = d - rsum                                       # [F, B]
+        # the energy gates on the SQUARED test (d2 < rsum^2); sqrt can
+        # round a razor-edge pair the other way, so force any pair the
+        # energy would fire on to a strictly negative gap — margin >= 0
+        # then covers the active set exactly
+        gap = jnp.where(d2 < rsum * rsum, jnp.minimum(gap, -1e-9), gap)
+        invalid = validj[None, :] <= 0
+        adj = jnp.zeros(gap.shape, bool)
+        for p in range(3):
+            for q in range(3):
+                adj = adj | (faces[:, p, None] == fj[None, :, q])
+        invalid = invalid | adj
+        if irow is not None:
+            onehot = jax.nn.one_hot(inp["segj"], irow.shape[1],
+                                    dtype=jnp.float32)
+            invalid = invalid | ((irow @ onehot.T) > 0.5)
+        gap = jnp.where(invalid, BIG, gap)
+        return jnp.minimum(gap_min, gap.min(axis=1)), None
+
+    gaps, _ = jax.lax.scan(step, jnp.full((F,), BIG), xs)
+    Keff = min(K, F)
+    _, ids = jax.lax.top_k(-gaps, Keff)
+    n_within = (gaps < margin).sum()
+    return ids.astype(jnp.int32), n_within
+
+
+def intersection_candidates_batched(verts_batch, faces, K: int = 4096,
+                                    margin: float = 0.05,
+                                    frame_chunk: int = 4, **kw):
+    """[B, V, 3] -> (ids [B, K], n_within [B]): per-frame candidate faces
+    (each frame's fit stays within `margin` of ITS warm start)."""
+    one = lambda v: intersection_candidates(v, faces, K=K, margin=margin,
+                                            **kw)  # noqa: E731
+    B = verts_batch.shape[0]
+    if B <= frame_chunk:
+        return jax.vmap(one)(verts_batch)
+    pad = (-B) % frame_chunk
+    vb = jnp.concatenate(
+        [verts_batch, jnp.broadcast_to(verts_batch[:1],
+                                       (pad,) + verts_batch.shape[1:])]) \
+        if pad else verts_batch
+    chunks = vb.reshape(-1, frame_chunk, *verts_batch.shape[1:])
+    ids, n_within = jax.lax.map(jax.vmap(one), chunks)
+    Keff = ids.shape[-1]
+    return ids.reshape(-1, Keff)[:B], n_within.reshape(-1)[:B]
+
+
 # Narrow-phase implementation:
 #   'auto'   - 'pallas' on TPU, 'dense' elsewhere
 #   'pallas' - fused VMEM-resident kernel (ops/intersection_pallas.py):
@@ -204,7 +319,7 @@ INTERSECTION_IMPL = "auto"
 
 
 def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,
-                              **kw):
+                              candidate_ids=None, **kw):
     """[B, V, 3] -> [B] energies.
 
     Frames are processed in chunks of `frame_chunk` via lax.map (vmap
@@ -213,19 +328,51 @@ def batched_self_intersection(verts_batch, faces, frame_chunk: int = 4,
     set the transient peak — chunking keeps it a few hundred MB at PROX
     production scale (B=100, F=20946). Differentiability is preserved
     (lax.map is a scan; the inner step is already rematerialized).
+
+    candidate_ids ([B, K] or [K] int32, from
+    :func:`intersection_candidates`): evaluate the energy only on these
+    faces — an O(K^2) sweep per frame instead of O(F^2). Exact whenever
+    every face with an overlapping valid partner is in the set (the
+    subset sweep re-applies all masks, so extra faces change nothing);
+    the candidate routine's `margin` buys tolerance to motion between
+    refreshes.
     """
     impl = INTERSECTION_IMPL
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "dense"
-    if impl == "pallas":
-        tab = kw.get("ign_table")
-        if tab is None or tab.shape[0] <= 32:
-            from lemo_tpu.ops.intersection_pallas import \
-                batched_self_intersection_pallas
-            pkw = {k: v for k, v in kw.items()
-                   if k in ("sigma", "segm", "ign_table")}
-            return batched_self_intersection_pallas(verts_batch, faces,
-                                                    **pkw)
+    tab = kw.get("ign_table")
+    use_pallas = impl == "pallas" and (tab is None or tab.shape[0] <= 32)
+
+    if candidate_ids is not None:
+        segm = kw.get("segm")
+        if candidate_ids.ndim == 1:
+            candidate_ids = jnp.broadcast_to(
+                candidate_ids, (verts_batch.shape[0],) + candidate_ids.shape)
+
+        def one_sub(v, cand):
+            f_sub = faces[cand]
+            s_sub = None if segm is None else segm[cand]
+            if use_pallas:
+                from lemo_tpu.ops.intersection_pallas import \
+                    self_intersection_loss_pallas
+                return self_intersection_loss_pallas(
+                    v, f_sub, sigma=kw.get("sigma", 0.5), segm=s_sub,
+                    ign_table=tab)
+            return self_intersection_loss(
+                v, f_sub, sigma=kw.get("sigma", 0.5), segm=s_sub,
+                ign_table=tab,
+                col_block=min(kw.get("col_block", 512), cand.shape[-1]))
+
+        # subset sweeps are K^2 — small; map frames sequentially
+        return jax.lax.map(lambda a: one_sub(*a),
+                           (verts_batch, candidate_ids))
+
+    if use_pallas:
+        from lemo_tpu.ops.intersection_pallas import \
+            batched_self_intersection_pallas
+        pkw = {k: v for k, v in kw.items()
+               if k in ("sigma", "segm", "ign_table")}
+        return batched_self_intersection_pallas(verts_batch, faces, **pkw)
 
     B = verts_batch.shape[0]
     one = lambda v: self_intersection_loss(v, faces, **kw)  # noqa: E731

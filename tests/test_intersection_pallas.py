@@ -204,3 +204,104 @@ class TestIntersectionPallas:
                                           ign_table=tab)
         np.testing.assert_allclose(np.asarray(e)[0], float(e_ref),
                                    rtol=1e-6)
+
+
+class TestTemporalCoherenceCandidates:
+    """intersection_candidates (the amortized broad phase) + subset
+    evaluation via batched_self_intersection(candidate_ids=...)."""
+
+    def test_margin0_candidates_reproduce_full_energy(self):
+        """Candidates from the SAME geometry at margin 0 cover every face
+        with an overlapping valid partner, so the K^2 subset sweep must
+        reproduce the full F^2 energy (the refresh-every-step contract)."""
+        verts, faces = _posed_body(seed=5, pose_scale=0.9)
+        full = xi.batched_self_intersection(verts[None], faces)
+        ids, n_within = xi.intersection_candidates(
+            verts, faces, K=int(faces.shape[0]), margin=0.0)
+        # every face with an overlapping partner sits inside margin 0
+        for K in (int(n_within), int(n_within) + 37):
+            sub = xi.batched_self_intersection(
+                verts[None], faces, candidate_ids=ids[:K][None])
+            np.testing.assert_allclose(np.asarray(sub), np.asarray(full),
+                                       rtol=1e-6, err_msg=f"K={K}")
+
+    def test_gradients_match_on_subset(self):
+        verts, faces = _posed_body(seed=6, pose_scale=0.9)
+        ids, n_within = xi.intersection_candidates(
+            verts, faces, K=int(faces.shape[0]), margin=0.0)
+        K = int(n_within) + 8
+
+        g_full = jax.grad(
+            lambda v: xi.batched_self_intersection(v[None], faces).sum()
+        )(verts)
+        g_sub = jax.grad(
+            lambda v: xi.batched_self_intersection(
+                v[None], faces, candidate_ids=ids[:K][None]).sum()
+        )(verts)
+        # The two sweeps see the exact same pairs; residual differences
+        # are (a) f32 reassociation, which scales with the gradient
+        # magnitude, and (b) razor-edge hinge/gate decisions inside the
+        # cone energy that legitimately flip between XLA compilation
+        # modes (JIT vs the persistent cache's AOT feature set — measured
+        # flips at |d2-rsum^2| ~ 6e-5 under AOT) — the gradient analog of
+        # GATE_RTOL. A systematic bug (wrong gather, dropped pairs) would
+        # corrupt many vertices; gate flips touch the one or two faces of
+        # the flipped pair. So: tight match outside a handful of outlier
+        # vertices, bounded in count.
+        gf, gs = np.asarray(g_full), np.asarray(g_sub)
+        tol = 1e-4 * np.abs(gf) + 1e-6 * float(np.abs(gf).max())
+        bad_verts = (np.abs(gs - gf) > tol).any(axis=1)
+        assert bad_verts.sum() <= 6, (
+            f"{bad_verts.sum()} / {len(bad_verts)} vertices mismatch — "
+            "more than isolated gate flips")
+        np.testing.assert_allclose(gs[~bad_verts], gf[~bad_verts],
+                                   rtol=1e-4,
+                                   atol=1e-6 * float(np.abs(gf).max()))
+
+    def test_margin_buys_motion_tolerance(self):
+        """Candidates from geometry A with margin m stay exact for
+        geometry B when no surface point moved more than m/2."""
+        verts, faces = _posed_body(seed=7, pose_scale=0.9)
+        rng = np.random.RandomState(0)
+        delta = jnp.asarray(rng.randn(*verts.shape) * 0.002, jnp.float32)
+        delta = jnp.clip(delta, -0.005, 0.005)  # |dv| <= 8.7 mm < m/2
+        moved = verts + delta
+        ids, n_within = xi.intersection_candidates(
+            verts, faces, K=int(faces.shape[0]), margin=0.05)
+        K = int(n_within)
+        full = xi.batched_self_intersection(moved[None], faces)
+        sub = xi.batched_self_intersection(
+            moved[None], faces, candidate_ids=ids[:K][None])
+        np.testing.assert_allclose(np.asarray(sub), np.asarray(full),
+                                   rtol=1e-6)
+
+    def test_part_filter_respected(self):
+        """Pairs killed by the ignore table must not pull faces into the
+        candidate set (their gap is +inf unless another partner exists)."""
+        verts, faces = _posed_body(seed=5, pose_scale=0.9)
+        F = int(faces.shape[0])
+        # every face in part 0, all pairs ignored -> nothing is a candidate
+        segm = jnp.zeros((F,), jnp.int32)
+        tab = jnp.ones((1, 1), bool)
+        _, n_within = xi.intersection_candidates(
+            verts, faces, K=F, margin=1e9, segm=segm, ign_table=tab)
+        assert int(n_within) == 0
+
+    def test_batched_per_frame_candidates(self):
+        verts, faces = _posed_body(seed=8, pose_scale=0.8)
+        vb = jnp.stack([verts, verts + 0.001, verts - 0.001])
+        # size K to the active set (a real caller gets the same signal
+        # from the n_within > K warning in driver._coll_candidate_ids)
+        _, nw0 = xi.intersection_candidates(verts, faces,
+                                            K=int(faces.shape[0]),
+                                            margin=0.0)
+        K = min(int(nw0) + 64, int(faces.shape[0]))
+        ids, n_within = xi.intersection_candidates_batched(
+            vb, faces, K=K, margin=0.0, frame_chunk=2)
+        assert ids.shape == (3, K) and n_within.shape == (3,)
+        full = xi.batched_self_intersection(vb, faces)
+        # per-frame subsets must cover each frame's active set
+        assert int(np.asarray(n_within).max()) <= K
+        sub = xi.batched_self_intersection(vb, faces, candidate_ids=ids)
+        np.testing.assert_allclose(np.asarray(sub), np.asarray(full),
+                                   rtol=GATE_RTOL)
