@@ -128,6 +128,7 @@ def load_model(
     flat_hand_mean: bool = False,
     use_posedirs: bool = True,
     dtype=jnp.float32,
+    build_fused: bool | None = None,
 ) -> SmplxModel:
     """Load a SMPL-family model from an official .npz file (or a dict of
     arrays with the same keys: v_template, shapedirs, posedirs,
@@ -137,6 +138,12 @@ def load_model(
     Mirrors the loading logic of body_model.py:62-139 (model-type inference
     from posedirs width, expression dirs slicing at 300/10) and the smplx
     package (PCA hands, landmark embeddings).
+
+    `build_fused`: attach the fused-vertex-path constants (~64 MB
+    fused_dirs + padded copies, body_model/vertex_pallas.py). Default
+    (None) builds them only on the TPU backend — the only place
+    lbs.LBS_IMPL='auto' ever uses them; pass True for interpreter-mode
+    kernel tests on CPU, False to skip even on TPU.
     """
     if isinstance(bm_path_or_dict, (str,)):
         smpl_dict = dict(np.load(bm_path_or_dict, allow_pickle=True))
@@ -183,7 +190,9 @@ def load_model(
     consts["J_regressor"] = J_regressor.astype(np.float32)
     consts["lbs_weights"] = np.asarray(smpl_dict["weights"], np.float32)
 
-    if use_posedirs:
+    if build_fused is None:
+        build_fused = jax.default_backend() == "tpu"
+    if use_posedirs and build_fused:
         # fused vertex-path constants (body_model/vertex_pallas.py):
         # plane-major blend dirs (pose block permuted to plane order) +
         # padded skinning weights + the J_regressor pre-applied to the

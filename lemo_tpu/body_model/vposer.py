@@ -29,6 +29,17 @@ def _linear(p, name, x):
     return x @ p[f"{name}.weight"].T + p[f"{name}.bias"]
 
 
+def latent_dim(params: dict | None) -> int:
+    """Latent size of a VPoser parameter dict (the decoder's input width);
+    LATENT_DIM when params are absent. Saved pkls serialize a zero
+    embedding of this size when use_vposer is off, so it must track the
+    actual checkpoint rather than assume 32."""
+    if params is None:
+        return LATENT_DIM
+    w = params.get("bodyprior_dec_fc1.weight")
+    return LATENT_DIM if w is None else int(w.shape[1])
+
+
 def _lrelu(x):
     return jnp.where(x >= 0, x, 0.2 * x)
 

@@ -175,9 +175,9 @@ def _make_fit_core_folded(
     one N=C convolution. The math is the per-clip SUM of the single-clip
     losses — clip parameters are disjoint, so gradients equal the
     vmapped form's, and Adam is elementwise, so trajectories match up to
-    f32 reassociation. One semantic difference: the NaN guard freezes
-    ALL clips when any clip's loss goes non-finite (the vmapped form
-    freezes per clip).
+    f32 reassociation. The NaN guard is per-clip, like the vmapped form:
+    a diverging clip freezes only its own parameters (its per-clip loss
+    drives a [C] dead mask), so the other clips keep fitting.
     """
     fwd = make_forward_fn(model, fused=fused)
     V = model.consts["v_template"].shape[0]
@@ -228,15 +228,45 @@ def _make_fit_core_folded(
         return per_clip.sum(), per_clip
 
     def fit_core(markers_target, contact_lbl, init72):
+        import optax
+
         shape10 = init72[..., 6:16]  # betas frozen (opt_amass_temp.py:335)
         init_vars = {
             "transl": init72[..., 0:3],
             "rot6d": aa_to_rot6d(init72[..., 3:6]),
             "other": init72[..., 16:],
         }
-        final, _, per_clip = run_adam(
+        C = init72.shape[0]
+        opt = optax.adam(learning_rate=lambda count: lr_table[count],
+                         b1=0.9, b2=0.999, eps=1e-8)
+        grad_fn = jax.value_and_grad(
             lambda v: loss_fn(v, shape10, markers_target, contact_lbl),
-            init_vars, num_steps, lr_table, has_aux=True)
+            has_aux=True)
+
+        def step(carry, _):
+            v, state, dead = carry                      # dead [C] bool
+            (_, per_clip), grads = grad_fn(v)
+            updates, new_state = opt.update(grads, state, v)
+            new_v = optax.apply_updates(v, updates)
+            bad = jnp.logical_or(jnp.isnan(per_clip), jnp.isinf(per_clip))
+            dead = jnp.logical_or(dead, bad)
+
+            def keep(n, o):
+                # clip parameters and Adam moments are [C, ...]; the Adam
+                # step count is a shared scalar (harmless for dead clips —
+                # their updates are masked out entirely)
+                if n.ndim >= 1 and n.shape[0] == C:
+                    return jnp.where(
+                        dead.reshape((C,) + (1,) * (n.ndim - 1)), o, n)
+                return n
+
+            v = jax.tree_util.tree_map(keep, new_v, v)
+            state = jax.tree_util.tree_map(keep, new_state, state)
+            return (v, state, dead), per_clip
+
+        (final, _, _), per_clip = jax.lax.scan(
+            step, (init_vars, opt.init(init_vars), jnp.zeros((C,), bool)),
+            None, length=num_steps)
         x72 = jnp.concatenate(
             [final["transl"], rot6d_to_aa(final["rot6d"]), shape10,
              final["other"]], axis=-1)
@@ -350,9 +380,17 @@ def make_temporal_fitter_batched(*args, impl: str = "fold", **kwargs):
     its dirs operand).
     """
     if impl == "fold":
-        return jax.jit(_make_fit_core_folded(*args, **kwargs))
+        fit = jax.jit(_make_fit_core_folded(*args, **kwargs))
+        # read by parallel.clip_sharded_fit: GSPMD treats the fused
+        # pallas_call as an opaque custom call and would gather its ~64 MB
+        # dirs operand to one device — sharded callers must build with
+        # fused=False
+        fit._lemo_fused = bool(kwargs.get("fused", True))
+        return fit
     kwargs["fused"] = False
-    return jax.jit(jax.vmap(_make_fit_core(*args, **kwargs)))
+    fit = jax.jit(jax.vmap(_make_fit_core(*args, **kwargs)))
+    fit._lemo_fused = False
+    return fit
 
 
 def fit_clip_temporal(

@@ -90,6 +90,13 @@ def data_parallel_step(train_step, mesh: Mesh, axis_name: str = "dp"):
 def clip_sharded_fit(fit_fn, mesh: Mesh, axis_name: str = "dp"):
     """Shard a batched fit `f(batched_inputs...) -> outputs` over clips:
     every argument's leading axis is the clip axis."""
+    if mesh.devices.size > 1 and getattr(fit_fn, "_lemo_fused", False):
+        raise ValueError(
+            "this batched fitter was built with fused=True; under a "
+            "multi-device mesh GSPMD treats the fused pallas_call as an "
+            "opaque custom call and gathers its ~64 MB dirs operand to "
+            "one device — rebuild with fused=False "
+            "(make_temporal_fitter_batched(..., fused=False))")
     shard = NamedSharding(mesh, P(axis_name))
 
     def run(*batched):

@@ -164,3 +164,34 @@ def test_folded_batched_matches_vmap(setup):
                                rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(np.asarray(xf), np.asarray(xv),
                                rtol=6e-2, atol=2e-3)
+
+
+def test_folded_nan_freeze_is_per_clip(setup):
+    """A clip whose loss goes non-finite freezes only ITSELF in the
+    folded core: the healthy clips must match a batch fitted without the
+    poisoned clip, and the poisoned clip's params stay at its init."""
+    model, vpp, ids67, ids81, enc, stats, feet = setup
+    rng = np.random.RandomState(9)
+    C, T, S = 3, 10, 6
+    target = rng.randn(C, T, 67, 3).astype(np.float32) * 0.2
+    contact = (rng.rand(C, T, 4) > 0.5).astype(np.float32)
+    init72 = rng.randn(C, T, 72).astype(np.float32) * 0.1
+    bad = target.copy()
+    bad[0] = np.nan  # clip 0's marker loss is NaN from step 0
+
+    fold = s2.make_temporal_fitter_batched(model, vpp, enc, stats,
+                                           ids67, ids81, feet,
+                                           num_steps=S, impl="fold")
+    xb, lb = fold(jnp.asarray(bad), jnp.asarray(contact),
+                  jnp.asarray(init72))
+    # poisoned clip: frozen at its init (up to the aa->6d->aa roundtrip);
+    # its loss history records the NaN
+    np.testing.assert_allclose(np.asarray(xb[0]), init72[0], atol=1e-5)
+    assert np.isnan(np.asarray(lb[0])).all()
+    # healthy clips: bit-match a fit of the same batch with clip 0 healthy
+    # (disjoint params + per-clip freeze => identical trajectories)
+    xg, lg = fold(jnp.asarray(target), jnp.asarray(contact),
+                  jnp.asarray(init72))
+    np.testing.assert_allclose(np.asarray(xb[1:]), np.asarray(xg[1:]),
+                               atol=0.0)
+    assert np.isfinite(np.asarray(lb[1:])).all()

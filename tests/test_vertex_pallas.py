@@ -13,7 +13,10 @@ from lemo_tpu.testing.synthetic import synthetic_smplx_npz
 
 @pytest.fixture(scope="module")
 def model():
-    return load_model(synthetic_smplx_npz(), use_pca=True, num_pca_comps=12)
+    # build_fused=True: the fused consts are gated to the TPU backend by
+    # default; these tests exercise the kernel in interpreter mode on CPU
+    return load_model(synthetic_smplx_npz(), use_pca=True, num_pca_comps=12,
+                      build_fused=True)
 
 
 def _params(model, B, seed=0):
