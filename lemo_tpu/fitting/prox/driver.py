@@ -245,6 +245,50 @@ def _sdf_candidate_ids(cfg: ProxConfig, assets: ProxAssets, warm: dict,
     return np.argsort(min_sdf)[:K].astype(np.int32)
 
 
+def _warm_start_vertices(cfg: ProxConfig, assets: ProxAssets,
+                         warm: dict) -> jnp.ndarray:
+    """Body vertices (cam coords) of the warm-start parameters — the
+    stop-gradient geometry both candidate pre-passes sample."""
+    from lemo_tpu.body_model import make_forward_fn, vposer as vp
+
+    model = assets.model
+    params = {k: jnp.asarray(v) for k, v in warm.items()
+              if k != "pose_embedding"}
+    if cfg.use_vposer and "pose_embedding" in warm:
+        params["body_pose"] = vp.decode(
+            assets.vposer_params, jnp.asarray(warm["pose_embedding"]), "aa")
+    return make_forward_fn(model)(params, model.consts)["vertices"]
+
+
+def _coll_candidate_ids(cfg: ProxConfig, assets: ProxAssets,
+                        warm: dict) -> np.ndarray:
+    """[T, K] face ids for the temporal-coherence self-intersection broad
+    phase (cfg.coll_candidates): per frame, the K warm-start faces
+    nearest to a valid collision partner. One O(F^2) forward-only sweep
+    per window amortizes the reference's per-step BVH rebuild
+    (fit_temp_loadprox_slide.py:319-344)."""
+    from lemo_tpu.ops.intersection import intersection_candidates_batched
+
+    verts = _warm_start_vertices(cfg, assets, warm)
+    segm = (jnp.asarray(assets.faces_segm)
+            if assets.faces_segm is not None else None)
+    tab = (jnp.asarray(assets.ign_table)
+           if assets.ign_table is not None else None)
+    K = min(int(cfg.coll_candidates), assets.model.faces.shape[0])
+    ids, n_within = intersection_candidates_batched(
+        verts, jnp.asarray(assets.model.faces), K=K,
+        margin=float(cfg.coll_candidates_margin), segm=segm, ign_table=tab)
+    n_max = int(np.asarray(n_within).max())
+    if n_max > K:
+        import warnings
+        warnings.warn(
+            f"coll_candidates={K} < {n_max} faces within "
+            f"{cfg.coll_candidates_margin} m of a collision partner at "
+            "warm start; raise coll_candidates or the term may miss "
+            "penetrations")
+    return np.asarray(ids)
+
+
 def stage_joint_weights(cfg: ProxConfig, joint_weights: np.ndarray,
                         stage: int = 0) -> np.ndarray:
     """Per-stage hand/face keypoint weights (the reference re-assigns
@@ -323,6 +367,9 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
         ids = _sdf_candidate_ids(cfg, assets, window_data["warm_start"],
                                  R, t, sdf, grid_min, grid_max)
         st = dataclasses.replace(st, sdf_candidate_ids=jnp.asarray(ids))
+    if cfg.interpenetration and getattr(cfg, "coll_candidates", 0) > 0:
+        cids = _coll_candidate_ids(cfg, assets, window_data["warm_start"])
+        st = dataclasses.replace(st, coll_candidate_ids=jnp.asarray(cids))
     if infill_result is not None:
         st = dataclasses.replace(
             st, infill_targets=infill_result.targets_world,
@@ -490,7 +537,7 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                for wd, ir in zip(window_data, infill_results)]
     _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
                    "marker_mask", "infill_targets", "infill_contact_lbl",
-                   "sdf_candidate_ids"}
+                   "sdf_candidate_ids", "coll_candidate_ids"}
     batch_kw = {}
     for f in _dc.fields(statics[0].__class__):
         vals = [getattr(s, f.name) for s in statics]
@@ -508,7 +555,7 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     priors = build_priors(cfg)
     n_stages = cfg.n_stages
-    losses_stages = []
+    losses_stages, terms_stages = [], []
     for stage in range(n_stages):
         w_s = weights_from_config(cfg, stage)
         static_batch_s = _dc.replace(
@@ -518,10 +565,12 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
             assets.model, assets.vposer_params, mapper, statics[0], w_s,
             maxiters=cfg.maxiters, lr=cfg.lr, mesh=mesh,
             steps_per_dispatch=cfg.steps_per_dispatch,
-            priors=priors, use_vposer=cfg.use_vposer)
+            priors=priors, use_vposer=cfg.use_vposer,
+            optim_type=cfg.optim_type)
         opt_vars, betas, losses, batch_terms = fitter(
             static_batch_s, warm, first_mask)
         losses_stages.append(np.asarray(losses))
+        terms_stages.append(batch_terms)
         if stage + 1 < n_stages:
             warm = dict(opt_vars)
             warm["betas"] = betas
@@ -531,11 +580,14 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     sols = [{k: v[widx] for k, v in opt_vars.items()}
             for widx in range(n_windows)]
     loss_hists = [np.asarray(losses[widx]) for widx in range(n_windows)]
-    # per-window final-terms record (term name -> [1] history); windows
-    # re-fit by the polish pass below overwrite theirs with the polish
-    # fitter's last-step terms
-    term_hists = [{k: v[widx:widx + 1] for k, v in batch_terms.items()}
-                  for widx in range(n_windows)]
+    # per-window terms record: each stage contributes its final-solution
+    # terms, concatenated across stages (mirroring the sequential driver's
+    # per-stage term-history concatenation); windows re-fit by the polish
+    # pass below overwrite theirs with the polish fitter's last-step terms
+    term_hists = [
+        {k: np.concatenate([ts[k][widx:widx + 1] for ts in terms_stages])
+         for k in terms_stages[0]}
+        for widx in range(n_windows)]
 
     # Sequential-polish pass: the parallel fit's overlap-frozen head
     # frames kept their warm-start values, not the previous window's
@@ -588,7 +640,9 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
             pose_embedding = np.asarray(final["pose_embedding"])
         else:
             body_pose = final["body_pose"]
-            pose_embedding = np.zeros((body_pose.shape[0], 32), np.float32)
+            pose_embedding = np.zeros(
+                (body_pose.shape[0], vp.latent_dim(assets.vposer_params)),
+                np.float32)
         params_np = {k: np.asarray(v) for k, v in final.items()
                      if k != "pose_embedding"}
         params_np["betas"] = np.asarray(betas[widx])

@@ -122,6 +122,11 @@ class ProxStatic:
     faces: Any = None               # [F, 3]
     faces_segm: Any = None
     ign_table: Any = None
+    # temporal-coherence collision candidates (cfg.coll_candidates): per
+    # frame, the K faces whose WARM-START body has a valid partner within
+    # coll_candidates_margin of sphere overlap — the subset the cone
+    # energy is evaluated on (ops.intersection.intersection_candidates)
+    coll_candidate_ids: Any = None  # [T, K] int32
     # depth-term visibility: body topology for per-frame vertex normals
     # (backface culling — the cheap exact self-occlusion test; see
     # ops.visibility.visibility_zbuffer)
@@ -136,7 +141,8 @@ _STATIC_ARRAY_FIELDS = [
     "contact_verts_ids", "fric_verts_ids", "foot_ids", "smooth_enc_params",
     "smooth_stats", "smooth_marker_ids", "infill_targets",
     "infill_contact_lbl", "marker_mask", "infill_marker_ids",
-    "sdf_candidate_ids", "faces", "faces_segm", "ign_table", "faces_vis",
+    "sdf_candidate_ids", "faces", "faces_segm", "ign_table",
+    "coll_candidate_ids", "faces_vis",
 ]
 _STATIC_AUX_FIELDS = ["camera", "image_size"]
 
@@ -359,7 +365,11 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
             off += len(ids)
         foot_sel = (onehot_rows(_np.concatenate(all_ids), V), slices)
 
-    def loss_fn(opt_vars, betas, st: ProxStatic = st_template):
+    def forward_part(opt_vars, betas):
+        """SMPL-X forward on a flat frame batch [N, ...] (N = T, or W*T
+        for the folded window-parallel fitter — the expensive part that
+        must NOT be vmapped so the fused Pallas vertex path stays
+        active)."""
         body_pose = (vp.decode(vposer_params, opt_vars["pose_embedding"],
                                "aa")
                      if use_vposer else opt_vars["body_pose"])
@@ -375,7 +385,12 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
             "reye_pose": opt_vars["reye_pose"],
             "expression": opt_vars["expression"],
         }
-        out = forward_fn(params, consts)
+        return forward_fn(params, consts)
+
+    def terms_part(opt_vars, betas, out, st: ProxStatic):
+        """All eleven loss families on a forward result for ONE window
+        [T, ...] (vmapped over windows by the folded fitter)."""
+        body_pose = (None if use_vposer else opt_vars["body_pose"])
         verts = out["vertices"]              # [T, V, 3] cam coords
         joints_all = out["joints"]           # [T, 127, 3]
         mapped = joints_all[:, jm, :]        # [T, 118, 3]
@@ -406,6 +421,7 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
                 batched_self_intersection(
                     verts, st.faces, segm=st.faces_segm,
                     ign_table=st.ign_table,
+                    candidate_ids=st.coll_candidate_ids,
                     frame_chunk=max(int(w.coll_frame_chunk), 1)).sum()
         else:
             terms["self_penetration_loss"] = 0.0
@@ -496,4 +512,12 @@ def make_prox_loss(forward_fn, consts, joint_mapper, vposer_params,
         terms["total_loss"] = total
         return total, terms
 
+    def loss_fn(opt_vars, betas, st: ProxStatic = st_template):
+        out = forward_part(opt_vars, betas)
+        return terms_part(opt_vars, betas, out, st)
+
+    # the folded window-parallel fitter runs forward_part ONCE on the
+    # flattened [W*T] frame batch and vmaps terms_part over windows
+    loss_fn.forward_part = forward_part
+    loss_fn.terms_part = terms_part
     return loss_fn

@@ -164,13 +164,17 @@ def make_window_fitter(
         return fit_lbfgs
 
     # The fit runs in chunks of <=100 optimizer steps per device dispatch:
-    # mathematically identical to one long scan (Adam state is carried
-    # across chunks), but keeps individual XLA executions short — long
-    # single dispatches can trip execution watchdogs on tunneled devices.
-    # Lower steps_per_dispatch (ProxConfig field) when slow terms (e.g.
-    # interpenetration at full scale, ~30 s/step) are enabled.
+    # mathematically identical to one long scan (optimizer state is
+    # carried across chunks), but keeps individual XLA executions short —
+    # long single dispatches can trip execution watchdogs on tunneled
+    # devices. Lower steps_per_dispatch (ProxConfig field) when slow terms
+    # (e.g. interpenetration at full scale) are enabled.
     chunk = min(max(int(steps_per_dispatch), 1), maxiters)
-    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    # adam / rmsprop / sgd (the reference's optim_factory.py:27-65
+    # surface); unknown strings raise instead of silently running Adam
+    from lemo_tpu.fitting.lbfgs import create_optimizer
+
+    opt = create_optimizer(optim_type, lr)
 
     @jax.jit
     def run_chunk(ov, opt_state, betas, st, erase_n):
@@ -229,6 +233,8 @@ def make_batched_window_fitter(
     steps_per_dispatch: int = 100,
     priors: dict | None = None,
     use_vposer: bool = True,
+    optim_type: str = "adam",
+    impl: str = "fold",
 ):
     """Window-PARALLEL fitter: all windows of a recording optimized
     concurrently, the window axis sharded across the device mesh — the
@@ -241,6 +247,23 @@ def make_batched_window_fitter(
     solution. The driver's sequential-polish pass
     (driver._run_window_parallel, cfg.window_polish_iters) restores the
     reference's stitching semantics afterwards.
+
+    impl='fold' (default): the W windows are FOLDED into the SMPL-X
+    forward's frame batch (one [W*T] forward per step) and only the
+    cheap per-window loss terms are vmapped. This keeps the fused Pallas
+    vertex path active on single-chip runs and batches the conv
+    smoothness prior at N=W — the two places the step's FLOPs live
+    (PERF.md round-3 anatomy). Gradients equal the vmapped form's
+    (windows are disjoint in the parameters; the optimizer is
+    elementwise), so trajectories match up to f32 reassociation.
+
+    impl='vmap': the whole per-window chunk vmapped (round-3 form; the
+    fused kernel must stay off — batching a pallas_call broadcasts its
+    ~64 MB dirs operand).
+
+    Under a multi-device mesh both impls run the forward un-fused: GSPMD
+    treats a pallas_call as an opaque custom call and would gather its
+    operands to one device.
 
     Returns ``fit(static_batch, prox_params_batch, first_mask) ->
     (opt_vars, betas, losses [W, S], final_terms)`` where every array
@@ -255,20 +278,27 @@ def make_batched_window_fitter(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     T = static_template.gt_joints.shape[0]
-    # fused=False: this fitter vmaps the forward over the window axis —
-    # batching the fused pallas_call would broadcast its dirs operand
-    fwd = make_forward_fn(model, fused=False)
+    fused = (impl == "fold") and mesh is None
+    fwd = make_forward_fn(model, fused=fused)
     loss_fn = make_prox_loss(fwd, model.consts, joint_mapper, vposer_params,
                              static_template, weights,
                              model.config.num_expressions,
                              priors=priors, use_vposer=use_vposer)
     mask_with = overlap_grad_mask(T, overlap_frac)
     chunk = min(max(int(steps_per_dispatch), 1), maxiters)
-    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    if optim_type in ("lbfgs", "lbfgsls"):
+        raise ValueError(
+            "window_parallel supports the gradient-descent family "
+            "(adam/rmsprop/sgd); L-BFGS curvature history over a batched "
+            "window axis is not implemented — unset window_parallel to "
+            f"fit sequentially with optim_type={optim_type!r}")
+    from lemo_tpu.fitting.lbfgs import create_optimizer
+
+    opt = create_optimizer(optim_type, lr)  # raises on unknown types
 
     _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
                    "marker_mask", "infill_targets", "infill_contact_lbl",
-                   "sdf_candidate_ids"}
+                   "sdf_candidate_ids", "coll_candidate_ids"}
     # in_axes prefix tree: same ProxStatic structure/aux as the template,
     # 0 on per-window fields, None elsewhere
     from lemo_tpu.fitting.prox.losses import _STATIC_ARRAY_FIELDS, \
@@ -311,8 +341,63 @@ def make_batched_window_fitter(
         _, terms = loss_fn(ov, betas, st)
         return ov, opt_state, losses, terms
 
-    run_chunk_v = jax.jit(jax.vmap(
-        chunk_one, in_axes=(0, 0, 0, static_axes, 0)))
+    def loss_folded(ov, betas, st_b):
+        """Per-window totals [W] with ONE folded forward; terms vmapped."""
+        W = betas.shape[0]
+        flat = {k: v.reshape((W * T,) + v.shape[2:]) for k, v in ov.items()}
+        out = loss_fn.forward_part(
+            flat, betas.reshape((W * T,) + betas.shape[2:]))
+        out_w = {k: v.reshape((W, T) + v.shape[1:]) for k, v in out.items()}
+        totals, terms = jax.vmap(
+            loss_fn.terms_part, in_axes=(0, 0, 0, static_axes))(
+            ov, betas, out_w, st_b)
+        return totals.sum(), (totals, terms)
+
+    def chunk_folded(ov, opt_state, betas, st_b, erase_n):
+        W = betas.shape[0]
+        # per-window overlap freeze: frame weights [W, T]
+        frame_w = (jnp.arange(T)[None, :] >= erase_n[:, None]).astype(
+            jnp.float32)
+        grad_fn = jax.value_and_grad(
+            lambda v: loss_folded(v, betas, st_b), has_aux=True)
+
+        def step(carry, _):
+            v, state, dead = carry
+            (_, (totals, _)), grads = grad_fn(v)
+            grads = jax.tree_util.tree_map(
+                lambda g: g * frame_w.reshape((W, T) + (1,) * (g.ndim - 2))
+                if g.ndim >= 2 and g.shape[:2] == (W, T) else g, grads)
+            updates, new_state = opt.update(grads, state, v)
+            new_v = optax.apply_updates(v, updates)
+            # per-WINDOW NaN/Inf freeze: a diverging window keeps its last
+            # good params without freezing its batch mates
+            bad = jnp.logical_or(jnp.isnan(totals), jnp.isinf(totals))
+            dead = jnp.logical_or(dead, bad)
+
+            def keep(n, o):
+                if n.ndim >= 1 and n.shape[0] == W:
+                    return jnp.where(
+                        dead.reshape((W,) + (1,) * (n.ndim - 1)), o, n)
+                return n  # shared scalar optimizer state (step count)
+
+            v = jax.tree_util.tree_map(keep, new_v, v)
+            state = jax.tree_util.tree_map(keep, new_state, state)
+            return (v, state, dead), totals
+
+        (ov, opt_state, _), losses = jax.lax.scan(
+            step, (ov, opt_state, jnp.zeros((W,), bool)), None,
+            length=chunk)
+        _, (_, terms) = loss_folded(ov, betas, st_b)
+        return ov, opt_state, losses.T, terms     # losses [W, chunk]
+
+    if impl == "fold":
+        run_chunk_v = jax.jit(chunk_folded)
+    elif impl == "vmap":
+        run_chunk_v = jax.jit(jax.vmap(
+            chunk_one, in_axes=(0, 0, 0, static_axes, 0)))
+    else:
+        raise ValueError(f"unknown window-parallel impl {impl!r} "
+                         "(expected 'fold' or 'vmap')")
 
     n_shards = mesh.devices.size if mesh is not None else 1
 
@@ -348,7 +433,8 @@ def make_batched_window_fitter(
                      "reye_pose", "expression",
                      "pose_embedding" if use_vposer else "body_pose")}
         erase_n = jnp.where(first_mask_p, 0, int(T * overlap_frac))
-        opt_state = jax.vmap(opt.init)(opt_vars)
+        opt_state = (opt.init(opt_vars) if impl == "fold"
+                     else jax.vmap(opt.init)(opt_vars))
         if mesh is not None:
             shard = NamedSharding(mesh, P("dp"))
             place = lambda x: jax.device_put(x, shard) \
@@ -398,7 +484,8 @@ def fit_window(
         pose_embedding = np.asarray(final["pose_embedding"])
     else:
         body_pose = final["body_pose"]
-        pose_embedding = np.zeros((body_pose.shape[0], 32), np.float32)
+        pose_embedding = np.zeros(
+            (body_pose.shape[0], vp.latent_dim(vposer_params)), np.float32)
     params_np = {k: np.asarray(v) for k, v in final.items()
                  if k != "pose_embedding"}
     params_np["betas"] = np.asarray(betas)

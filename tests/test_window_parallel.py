@@ -110,3 +110,79 @@ def test_polish_restores_sequential_stitching():
             np.testing.assert_allclose(
                 np.asarray(parP[w].params["transl"])[erase_n:ov_n],
                 t_seq[erase_n:ov_n], atol=5e-3)
+
+
+def test_fold_matches_vmap_trajectories():
+    """make_batched_window_fitter impl='fold' (one [W*T] folded forward,
+    fused-path compatible) must reproduce impl='vmap' — window parameters
+    are disjoint and the optimizer is elementwise, so the trajectories
+    agree up to f32 reassociation."""
+    from lemo_tpu.body_model.vertex_ids import smpl_to_openpose
+    from lemo_tpu.data.prox import ProxRecording, ProxWindowDataset
+    from lemo_tpu.fitting.prox.driver import (build_window_static,
+                                              weights_from_config)
+    from lemo_tpu.fitting.prox.window import make_batched_window_fitter
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    base = tempfile.mkdtemp()
+    info = write_synthetic_prox_recording(base, num_frames=40, seed=13,
+                                          write_depth=False)
+    model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    cfg = ProxConfig(
+        recording_dir=info["recording_dir"],
+        output_folder=tempfile.mkdtemp(),
+        batch_size=16, maxiters=6, lr=0.005, flip=False,
+        s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=True, use_friction=True,
+        use_motion_smooth_prior=False, interpenetration=False,
+        contact=False, use_motion_infill_prior=False,
+    )
+    assets = ProxAssets(model=model, vposer_params=info["vposer_params"])
+    rec = ProxRecording.from_recording_dir(cfg.recording_dir)
+    ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                           batch_size=cfg.batch_size, flip=False,
+                           read_depth=False, read_mask=False)
+    jw = ds.joint_weights()
+    mapper = smpl_to_openpose(cfg.model_type, cfg.use_hands, cfg.use_face,
+                              cfg.use_face_contour)
+    W = min(3, len(ds.windows))
+    window_data = [ds.load_window(i) for i in range(W)]
+    statics = [build_window_static(cfg, assets, rec, wd, jw)
+               for wd in window_data]
+    per_w = {"gt_joints", "joints_conf", "scan", "scan_mask",
+             "marker_mask", "infill_targets", "infill_contact_lbl",
+             "sdf_candidate_ids"}
+    batch_kw = {}
+    for f in dc.fields(statics[0].__class__):
+        vals = [getattr(s, f.name) for s in statics]
+        batch_kw[f.name] = (jnp.stack(vals)
+                            if f.name in per_w and vals[0] is not None
+                            else vals[0])
+    static_batch = statics[0].__class__(**batch_kw)
+    warm = {k: jnp.stack([jnp.asarray(wd["warm_start"][k])
+                          for wd in window_data])
+            for k in window_data[0]["warm_start"]}
+    first_mask = jnp.asarray([i == 0 for i in range(W)])
+    weights = weights_from_config(cfg)
+
+    outs = {}
+    for impl in ("fold", "vmap"):
+        fitter = make_batched_window_fitter(
+            model, assets.vposer_params, mapper, statics[0], weights,
+            maxiters=cfg.maxiters, lr=cfg.lr, mesh=None,
+            steps_per_dispatch=cfg.steps_per_dispatch, impl=impl)
+        outs[impl] = fitter(static_batch, warm, first_mask)
+
+    ov_f, betas_f, losses_f, terms_f = outs["fold"]
+    ov_v, betas_v, losses_v, terms_v = outs["vmap"]
+    assert losses_f.shape == losses_v.shape
+    np.testing.assert_allclose(losses_f, losses_v, rtol=2e-3, atol=2e-5)
+    for k in ov_f:
+        np.testing.assert_allclose(np.asarray(ov_f[k]),
+                                   np.asarray(ov_v[k]),
+                                   rtol=6e-2, atol=2e-3, err_msg=k)
+    for k in terms_f:
+        np.testing.assert_allclose(np.asarray(terms_f[k]),
+                                   np.asarray(terms_v[k]),
+                                   rtol=5e-3, atol=1e-5, err_msg=k)
