@@ -140,18 +140,32 @@ def main(argv=None):
         model.consts)["vertices"])[:, ids67]
     init_err = np.linalg.norm(init_markers - ref_markers, axis=-1)
 
+    metrics = {
+        "clip": i,
+        "gender": gender,
+        "frames": int(x72_ref.shape[0]),
+        "num_steps": args.num_steps,
+        "marker_err_mean_mm": float(marker_err.mean() * 1000),
+        "marker_err_p95_mm": float(np.percentile(marker_err, 95) * 1000),
+        "marker_err_max_mm": float(marker_err.max() * 1000),
+        "init_err_mean_mm": float(init_err.mean() * 1000),
+        "transl_delta_mean_mm": float(
+            np.abs(x72_fit[:, :3] - x72_ref[:, :3]).mean() * 1000),
+        "final_loss": float(losses[-1]),
+    }
     print(f"clip {i} ({gender}, {x72_ref.shape[0]} frames), "
           f"{args.num_steps} fit steps")
     print(f"  marker error vs reference solution: "
-          f"mean {marker_err.mean() * 1000:.2f} mm  "
-          f"p95 {np.percentile(marker_err, 95) * 1000:.2f} mm  "
-          f"max {marker_err.max() * 1000:.2f} mm")
+          f"mean {metrics['marker_err_mean_mm']:.2f} mm  "
+          f"p95 {metrics['marker_err_p95_mm']:.2f} mm  "
+          f"max {metrics['marker_err_max_mm']:.2f} mm")
     print(f"  (Stage-1 init started at mean {init_err.mean() * 1000:.2f} mm)")
     print(f"  transl delta: mean "
-          f"{np.abs(x72_fit[:, :3] - x72_ref[:, :3]).mean() * 1000:.2f} mm")
+          f"{metrics['transl_delta_mean_mm']:.2f} mm")
     print(f"  final fit loss {float(losses[-1]):.5f}")
-    return 0
+    return metrics
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    out = main()
+    sys.exit(out if isinstance(out, int) else 0)
