@@ -137,17 +137,29 @@ def _pad_to(x, mult):
     return (-x) % mult
 
 
+# lane-axis (frame-batch) tile: the folded window-parallel fitter pushes
+# W*T frames through one forward — unblocked, the backward's VMEM refs +
+# scratch scale with B (~38 MB at B≈3k). Each B-block is independent
+# (the bwd scratch is re-initialized from the inputs every grid step).
+TILE_B = 512
+
+
+def _tb(B: int) -> int:
+    return TILE_B if B % TILE_B == 0 else 128
+
+
 def _chain_fwd_call(rl, tl, parents_arr):
     Jp, B = rl.shape[1], rl.shape[2]
+    tb = _tb(B)
+    vspec = lambda c: pl.BlockSpec((c, Jp, tb), lambda b: (0, 0, b))  # noqa: E731
     rg, tg = pl.pallas_call(
         _fwd_kernel,
+        grid=(B // tb,),
         out_shape=(jax.ShapeDtypeStruct((9, Jp, B), rl.dtype),
                    jax.ShapeDtypeStruct((3, Jp, B), rl.dtype)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+                  vspec(9), vspec(3)],
+        out_specs=(vspec(9), vspec(3)),
         interpret=_interpret(),
     )(parents_arr, rl, tl)
     return rg, tg
@@ -155,20 +167,18 @@ def _chain_fwd_call(rl, tl, parents_arr):
 
 def _chain_bwd_call(rl, tl, rg, drg, dtg, parents_arr):
     Jp, B = rl.shape[1], rl.shape[2]
+    tb = _tb(B)
+    vspec = lambda c: pl.BlockSpec((c, Jp, tb), lambda b: (0, 0, b))  # noqa: E731
     drl, dtl = pl.pallas_call(
         _bwd_kernel,
+        grid=(B // tb,),
         out_shape=(jax.ShapeDtypeStruct((9, Jp, B), rl.dtype),
                    jax.ShapeDtypeStruct((3, Jp, B), rl.dtype)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((9, Jp, B), rl.dtype),
-                        pltpu.VMEM((3, Jp, B), rl.dtype)],
+                  vspec(9), vspec(3), vspec(9), vspec(9), vspec(3)],
+        out_specs=(vspec(9), vspec(3)),
+        scratch_shapes=[pltpu.VMEM((9, Jp, tb), rl.dtype),
+                        pltpu.VMEM((3, Jp, tb), rl.dtype)],
         interpret=_interpret(),
     )(parents_arr, rl, tl, rg, drg, dtg)
     return drl, dtl

@@ -49,6 +49,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 TILE_V = 256   # V-tile rows; VMEM high-water ~5 MB in the backward
+# frame-batch (lane-axis) tile: the folded window-parallel fitter runs
+# W*T frames through ONE forward (window.py impl='fold'), so Bp can be
+# thousands — unblocked, the backward's scoped-VMEM footprint scales
+# with Bp and overflows the 16 MB limit at Bp≈640 (measured on v5e).
+# Blocking the batch keeps VMEM flat; the extra cost is re-reading the
+# dirs blocks once per B-tile (~64 MB * Bp/TILE_B per call, ~1 ms/GB).
+TILE_B = 256
+
+
+def _tile_b(Bp: int) -> int:
+    return TILE_B if Bp % TILE_B == 0 else LANE
 
 
 def _interpret() -> bool:
@@ -91,10 +102,12 @@ def _fwd_kernel(cat_ref, a2_ref, dirs_ref, w_ref, out_ref):
 
 def _bwd_kernel(cat_ref, a2_ref, dirs_ref, w_ref, dout_ref,
                 dcat_ref, da2_ref):
-    """Mirror of the forward; dcat/da2 blocks are shared across the grid
-    (index_map -> block 0) and accumulated tile by tile — the TPU grid is
-    sequential, so += revisits are well-defined."""
-    i = pl.program_id(0)
+    """Mirror of the forward; dcat/da2 blocks are shared across the
+    V-tile grid axis (index_map ignores it) and accumulated tile by
+    tile — the TPU grid is sequential with the LAST axis fastest, so for
+    each B-tile all V-tiles run consecutively and += revisits are
+    well-defined."""
+    i = pl.program_id(1)           # V-tile index (fastest axis)
     w = w_ref[:]
     cat = cat_ref[:]
     vs = [_dot(dirs_ref[n], cat) for n in range(3)]
@@ -137,17 +150,18 @@ def _fwd_call(catT, A2, dirs, w):
     Jp = A2.shape[1]
     Vp = dirs.shape[1]
     n_tiles = Vp // TILE_V
+    tb = _tile_b(Bp)
     return pl.pallas_call(
         _fwd_kernel,
-        grid=(n_tiles,),
+        grid=(Bp // tb, n_tiles),
         out_shape=jax.ShapeDtypeStruct((3, Vp, Bp), catT.dtype),
         in_specs=[
-            pl.BlockSpec((D, Bp), lambda i: (0, 0)),
-            pl.BlockSpec((12, Jp, Bp), lambda i: (0, 0, 0)),
-            pl.BlockSpec((3, TILE_V, D), lambda i: (0, i, 0)),
-            pl.BlockSpec((TILE_V, Jp), lambda i: (i, 0)),
+            pl.BlockSpec((D, tb), lambda b, i: (0, b)),
+            pl.BlockSpec((12, Jp, tb), lambda b, i: (0, 0, b)),
+            pl.BlockSpec((3, TILE_V, D), lambda b, i: (0, i, 0)),
+            pl.BlockSpec((TILE_V, Jp), lambda b, i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((3, TILE_V, Bp), lambda i: (0, i, 0)),
+        out_specs=pl.BlockSpec((3, TILE_V, tb), lambda b, i: (0, i, b)),
         interpret=_interpret(),
     )(catT, A2, dirs, w)
 
@@ -157,20 +171,21 @@ def _bwd_call(catT, A2, dirs, w, dout):
     Jp = A2.shape[1]
     Vp = dirs.shape[1]
     n_tiles = Vp // TILE_V
+    tb = _tile_b(Bp)
     return pl.pallas_call(
         _bwd_kernel,
-        grid=(n_tiles,),
+        grid=(Bp // tb, n_tiles),
         out_shape=(jax.ShapeDtypeStruct((D, Bp), catT.dtype),
                    jax.ShapeDtypeStruct((12, Jp, Bp), A2.dtype)),
         in_specs=[
-            pl.BlockSpec((D, Bp), lambda i: (0, 0)),
-            pl.BlockSpec((12, Jp, Bp), lambda i: (0, 0, 0)),
-            pl.BlockSpec((3, TILE_V, D), lambda i: (0, i, 0)),
-            pl.BlockSpec((TILE_V, Jp), lambda i: (i, 0)),
-            pl.BlockSpec((3, TILE_V, Bp), lambda i: (0, i, 0)),
+            pl.BlockSpec((D, tb), lambda b, i: (0, b)),
+            pl.BlockSpec((12, Jp, tb), lambda b, i: (0, 0, b)),
+            pl.BlockSpec((3, TILE_V, D), lambda b, i: (0, i, 0)),
+            pl.BlockSpec((TILE_V, Jp), lambda b, i: (i, 0)),
+            pl.BlockSpec((3, TILE_V, tb), lambda b, i: (0, i, b)),
         ],
-        out_specs=(pl.BlockSpec((D, Bp), lambda i: (0, 0)),
-                   pl.BlockSpec((12, Jp, Bp), lambda i: (0, 0, 0))),
+        out_specs=(pl.BlockSpec((D, tb), lambda b, i: (0, b)),
+                   pl.BlockSpec((12, Jp, tb), lambda b, i: (0, 0, b))),
         interpret=_interpret(),
     )(catT, A2, dirs, w, dout)
 
