@@ -79,11 +79,15 @@ def _forward_direction(body_xzy: jnp.ndarray, sdr_l, sdr_r, hip_l, hip_r,
                        smooth: bool, filterwidth: int = 20) -> jnp.ndarray:
     across = (body_xzy[:, sdr_r] - body_xzy[:, sdr_l]) + (
         body_xzy[:, hip_r] - body_xzy[:, hip_l])
-    across = across / jnp.linalg.norm(across, axis=-1, keepdims=True)
+    # norm clamps are exact no-ops for healthy bodies (‖across‖ ≈ 0.5 m)
+    # and keep a degenerate frame finite instead of 0/0 -> NaN
+    across = across / jnp.maximum(
+        jnp.linalg.norm(across, axis=-1, keepdims=True), 1e-12)
     forward = jnp.cross(across, jnp.array([[0.0, 1.0, 0.0]], body_xzy.dtype))
     if smooth:
         forward = gaussian_filter1d_nearest(forward, float(filterwidth), axis=0)
-    return forward / jnp.linalg.norm(forward, axis=-1, keepdims=True)
+    return forward / jnp.maximum(
+        jnp.linalg.norm(forward, axis=-1, keepdims=True), 1e-12)
 
 
 def local_markers_4chan(pelvis_and_markers: jnp.ndarray,
@@ -125,8 +129,17 @@ def local_markers_4chan(pelvis_and_markers: jnp.ndarray,
         mk.SDR_L + 1, mk.SDR_R + 1, mk.HIP_L + 1, mk.HIP_R + 1)
     fwd = _forward_direction(body, sdr_l + 1, sdr_r + 1,
                              hip_l + 1, hip_r + 1, smooth_forward)
-    target = jnp.zeros_like(fwd).at[:, 2].set(1.0)
-    rotation = quat.between(fwd, target)  # [T, 4]
+    # forward = across x ŷ lies in the xz-plane, so the frame-alignment
+    # rotation into target=ẑ is exactly a y-rotation by -atan2(f_x, f_z).
+    # The reference builds it as Quaternions.between(forward, target)
+    # (utils/utils.py:242-244), which is the SAME rotation but returns
+    # NaN at the antipode forward = -ẑ (zero quaternion, normalized):
+    # a body warm-started facing exactly -z — observed on TPU, where the
+    # bf16 body forward lands on the pole that f32 CPU narrowly misses —
+    # poisoned the whole window. atan2 is exact there (atan2(0,-1) = pi).
+    theta = jnp.arctan2(fwd[:, 0], fwd[:, 2])
+    rotation = quat.from_angle_axis(
+        -theta, jnp.array([0.0, 1.0, 0.0], body.dtype))  # [T, 4]
     body = quat.qrot(rotation[:, None, :], body)
 
     velocity = quat.qrot(rotation[1:, None, :], velocity)  # [T-1, 1, 3]

@@ -68,7 +68,11 @@ def between(v0: jnp.ndarray, v1: jnp.ndarray) -> jnp.ndarray:
     """Quaternion rotating v0 into v1 (both [..., 3]).
 
     Matches `Quaternions.between` (utils/Quaternions.py:396-400):
-    q = normalize([ |v0||v1| + v0·v1 , v0 × v1 ]).
+    q = normalize([ |v0||v1| + v0·v1 , v0 × v1 ]) — including its
+    antipodal pole: v0 = -v1 yields the zero quaternion and normalizes
+    to NaN (the rotation axis is ambiguous). Callers whose vectors live
+    in a known plane should build the rotation from the plane's axis and
+    atan2 instead (see data/repr.py:local_markers_4chan heading removal).
     """
     a = jnp.cross(v0, v1)
     w = jnp.sqrt((v0**2).sum(-1) * (v1**2).sum(-1)) + (v0 * v1).sum(-1)
