@@ -85,8 +85,15 @@ def infill_infer(
         res = jnp.abs(rec[:, 0] - x[:, 0]) * w
         return res.sum() / w_sum
 
-    lr_table = jnp.full((finetune_steps,), finetune_lr)
-    tuned, losses, _ = run_adam(loss_fn, ae_params, finetune_steps, lr_table)
+    if finetune_steps > 0:
+        lr_table = jnp.full((finetune_steps,), finetune_lr)
+        tuned, losses, _ = run_adam(loss_fn, ae_params, finetune_steps,
+                                    lr_table)
+    else:
+        # finetune disabled: decode with the pretrained weights as-is
+        # (scan of length 0 would still trace lr_table[count] on a
+        # size-0 table)
+        tuned, losses = ae_params, jnp.zeros((0,))
 
     rec, _ = infill_ae_forward(tuned, x, kernel=kernel)
     rec = unpad_dt(rec)

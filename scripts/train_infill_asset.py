@@ -43,6 +43,12 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=120)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num_datasets", type=int, default=6,
+                    help="synthetic corpus size (datasets of ~90 clips)")
+    ap.add_argument("--holdout_frac", type=float, default=0.1,
+                    help="fraction of clips held out for early stopping "
+                         "(0 disables; the round-3 asset trained without "
+                         "a holdout and overfit its 540-clip corpus)")
     ap.add_argument("--amass_dir", default=None,
                     help="real AMASS root; synthetic corpus if omitted")
     ap.add_argument("--out_dir", default=ASSETS)
@@ -85,13 +91,13 @@ def main(argv=None):
         else:
             tmp = tempfile.mkdtemp()
             amass_dir = osp.join(tmp, "amass")
-            for k in range(6):
+            for k in range(args.num_datasets):
                 write_amass_dataset(amass_dir,
                                     dataset_name=f"Synth{k:02d}",
                                     num_subjects=2, seqs_per_subject=3,
                                     num_frames=3600, fps=60,
                                     seed=args.seed + 997 * k)
-            datasets = [f"Synth{k:02d}" for k in range(6)]
+            datasets = [f"Synth{k:02d}" for k in range(args.num_datasets)]
             model_dir = write_smplx_model_dir(osp.join(tmp, "models"))
 
         builder = amass.AmassRepresentationBuilder(model_dir,
@@ -110,12 +116,55 @@ def main(argv=None):
                   flush=True)
     if args.prep_only:
         return 0
-    stats = Local4ChanStats.compute(images)
-    images_n = np.asarray(stats.normalize(jnp.asarray(images)))
+    import jax
+
+    # train/holdout split + early stopping on held-out MASKED loss: the
+    # asset's job is masked-marker infilling on unseen motion, so model
+    # selection must look at exactly that (the round-3 asset kept the
+    # final step of a 667-epoch run over 540 clips and overfit badly —
+    # held-out occluded error landed WORSE than a zero-velocity fill).
+    rng = np.random.RandomState(args.seed + 12345)
+    n_hold = int(len(images) * args.holdout_frac)
+    perm = rng.permutation(len(images))
+    hold_idx, train_idx = perm[:n_hold], perm[n_hold:]
+    images_train = images[train_idx]
+    stats = Local4ChanStats.compute(images_train)
+    images_n = np.asarray(stats.normalize(jnp.asarray(images_train)))
 
     cfg = ti.InfillTrainConfig(lr=args.lr, batch_size=args.batch_size)
+    best = {"loss": np.inf, "step": 0, "params": None}
+    eval_cb = None
+    if n_hold:
+        _, eval_step, _ = ti.make_train_step(cfg)
+        hold = np.asarray(stats.normalize(jnp.asarray(images[hold_idx])))
+        hold_dev = jnp.asarray(hold.swapaxes(2, 3))        # [Nh, 4, d, T]
+        hmask = ti.random_marker_mask(
+            jax.random.PRNGKey(args.seed + 7), hold_dev.shape[0],
+            hold_dev.shape[2], hold_dev.shape[3])
+
+        def eval_cb(step, rec, params):
+            m = eval_step(params, hold_dev, hmask)
+            tot = float(cfg.weight_loss_rec_body * m["loss_rec_body"]
+                        + cfg.weight_loss_rec_body_v * m["loss_rec_body_v"]
+                        + cfg.weight_loss_rec_contact_lbl
+                        * m["loss_rec_contact_lbl"])
+            rec["holdout_total"] = tot
+            rec["holdout_body"] = float(m["loss_rec_body"])
+            if tot < best["loss"]:
+                best.update(loss=tot, step=step,
+                            params=jax.tree_util.tree_map(np.asarray,
+                                                          params))
+            print(f"[step {step}] train {rec['total']:.4f} holdout "
+                  f"{tot:.4f} (best {best['loss']:.4f} @ {best['step']})",
+                  flush=True)
+
     params, history = ti.train(images_n, cfg, args.num_steps,
-                               seed=args.seed, log_every=200)
+                               seed=args.seed, log_every=200,
+                               callback=eval_cb)
+    if best["params"] is not None:
+        params = best["params"]
+        print(f"[INFO] early-stopped: kept step {best['step']} "
+              f"(holdout {best['loss']:.4f})", flush=True)
 
     os.makedirs(args.out_dir, exist_ok=True)
     save_state_dict(params, osp.join(args.out_dir, "infill_ae.npz"))
@@ -130,7 +179,11 @@ def main(argv=None):
                                           cfg.weight_loss_rec_contact_lbl],
                               "corpus": ("synthetic" if not args.amass_dir
                                          else args.amass_dir),
-                              "clips": n_clips},
+                              "clips": n_clips,
+                              "holdout_clips": int(n_hold),
+                              "early_stop_step": int(best["step"]),
+                              "holdout_loss": (float(best["loss"])
+                                               if n_hold else None)},
                    "history": history}, fh, indent=1)
     print(f"[DONE] {args.num_steps} steps in {time.time() - t0:.0f}s; "
           f"first/last logged loss "
