@@ -66,6 +66,129 @@ def _reference_baseline() -> tuple[float, str]:
             "estimate — run scripts/bench_reference_torch.py to measure)")
 
 
+def _s3_window_step(jax, jnp) -> dict | None:
+    """Measure the FLAGSHIP production path: one PROX Stage-3 window step
+    (T=100 frames, full-size SMPL-X) through the real window fitter —
+    2D keypoints + body/hand priors + SDF penetration (candidate vertices,
+    fp8-packed grid) + friction + learned motion-smoothness prior +
+    motion-infill prior, i.e. the north-star configuration PERF.md's
+    full-recording numbers run (cfg_files equivalent of PROXD_temp_S3).
+
+    Timing: the compiled fitter is invoked once to warm (compile +
+    infill pre-pass happen outside the timed region) and then timed over
+    `maxiters` optimizer steps; ms/step = wall / maxiters.
+
+    vs_baseline divides the same reference frame-iters/s floor as the
+    headline metric: the reference's S3 step runs strictly MORE work than
+    its Stage-2 step (all 11 loss families incl. CUDA BVH-free config),
+    so the ratio stays a conservative floor.
+
+    Returns None (and the headline metric stands alone) if the synthetic
+    PROX scaffolding fails — bench must never crash the driver.
+    """
+    import tempfile
+    import time as _time
+
+    from lemo_tpu.body_model import load_model
+    from lemo_tpu.body_model.vertex_ids import smpl_to_openpose
+    from lemo_tpu.config import ProxConfig
+    from lemo_tpu.data.prox import ProxRecording, ProxWindowDataset
+    from lemo_tpu.data.stats import GlobalStats, Local4ChanStats
+    from lemo_tpu.fitting.prox.driver import (ProxAssets, build_priors,
+                                              _make_warm_world_markers,
+                                              build_window_static,
+                                              weights_from_config)
+    from lemo_tpu.fitting.prox.infill_prepass import run_infill_prepass
+    from lemo_tpu.fitting.prox.window import make_window_fitter
+    from lemo_tpu.priors.conv_ae import (init_smooth_enc,
+                                         load_state_dict_npz,
+                                         load_torch_state_dict)
+    from lemo_tpu.testing.synthetic import synthetic_smplx_npz
+    from lemo_tpu.testing.synthetic_prox import \
+        write_synthetic_prox_recording
+
+    T, maxiters = 100, 200
+    md = synthetic_smplx_npz(full_size=True)
+    base = tempfile.mkdtemp()
+    info = write_synthetic_prox_recording(base, num_frames=T + 10,
+                                          model_dict=md, seed=0,
+                                          write_depth=False)
+    model = load_model(md, use_pca=True, num_pca_comps=12)
+    try:
+        enc = load_torch_state_dict(
+            "/root/reference/runs/15217/Enc_last_model.pkl")
+        stats = GlobalStats.load(
+            "/root/reference/preprocess_stats/"
+            "preprocess_stats_smooth_withHand_global_markers.npz")
+    except Exception:
+        enc = init_smooth_enc(jax.random.PRNGKey(1))
+        stats = GlobalStats(Xmean=np.zeros((1, 1, 243)),
+                            Xstd=np.ones(243))
+    asset_dir = osp.join(osp.dirname(osp.abspath(__file__)),
+                         "lemo_tpu", "assets")
+    infill_ae = load_state_dict_npz(osp.join(asset_dir, "infill_ae.npz"))
+    infill_stats = Local4ChanStats.load(
+        osp.join(asset_dir, "infill_stats.npz"))
+
+    cfg = ProxConfig(
+        recording_dir=info["recording_dir"],
+        output_folder=tempfile.mkdtemp(),
+        batch_size=T, maxiters=maxiters, lr=0.005, flip=False,
+        s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=True, sdf_candidates=2048, sdf_fp8=True,
+        use_friction=True, use_motion_smooth_prior=True,
+        use_motion_infill_prior=True,
+        motion_infill_rec_weights=[2.0],
+        motion_infill_contact_weights=[0.1],
+        interpenetration=False, contact=False,
+    )
+    assets = ProxAssets(model=model,
+                        vposer_params=info["vposer_params"],
+                        smooth_enc_params=enc, smooth_stats=stats,
+                        infill_ae_params=infill_ae,
+                        infill_stats=infill_stats)
+    rec = ProxRecording.from_recording_dir(cfg.recording_dir)
+    ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                           batch_size=T, flip=False,
+                           read_depth=False, read_mask=False)
+    wd = ds.load_window(0)
+    warm = {k: jnp.asarray(v) for k, v in wd["warm_start"].items()}
+    mv67, mj = _make_warm_world_markers(assets, rec)(warm)
+    infill_result = run_infill_prepass(
+        assets.infill_ae_params, mv67, mj,
+        jnp.asarray(wd["marker_mask"]), assets.infill_stats)
+    st = build_window_static(cfg, assets, rec, wd, ds.joint_weights(),
+                             infill_result=infill_result)
+    mapper = smpl_to_openpose(cfg.model_type, cfg.use_hands,
+                              cfg.use_face, cfg.use_face_contour)
+    fitter = make_window_fitter(
+        model, assets.vposer_params, mapper, st, weights_from_config(cfg),
+        maxiters=maxiters, lr=cfg.lr,
+        steps_per_dispatch=cfg.steps_per_dispatch,
+        priors=build_priors(cfg), use_vposer=True)
+
+    out = fitter(st, warm, True)           # compile + warm
+    jax.block_until_ready(out[1])
+    t0 = _time.perf_counter()
+    out = fitter(st, warm, True)
+    jax.block_until_ready(out[1])
+    dt = _time.perf_counter() - t0
+    fi_s = T * maxiters / dt
+    baseline, _ = _reference_baseline()
+    return {
+        "metric": "prox_s3_window_step_frame_iters_per_sec",
+        "value": round(fi_s, 2),
+        "unit": "frames*steps/s",
+        "vs_baseline": round(fi_s / baseline, 2),
+        "ms_per_step": round(dt / maxiters * 1e3, 3),
+        "window_frames": T,
+        "steps": maxiters,
+        "terms": "keypoints+priors+sdf(cand2048,fp8)+friction"
+                 "+smooth+infill",
+        "final_loss": float(np.asarray(out[1])[-1]),
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -125,6 +248,16 @@ def main() -> None:
 
     frame_iters_per_sec = T * steps * n_calls / dt
     baseline, provenance = _reference_baseline()
+
+    # second metric: the flagship Stage-3 window step through the
+    # production PROX fitter (VERDICT r3 ask #4). Embedded in `detail`
+    # (same sub-schema) so stdout stays exactly one JSON line for the
+    # driver.
+    try:
+        s3 = _s3_window_step(jax, jnp)
+    except Exception as e:  # noqa: BLE001 — bench must not crash
+        s3 = {"error": f"{type(e).__name__}: {e}"}
+
     out = {
         "metric": "smplx_fitting_frame_iters_per_sec",
         "value": round(frame_iters_per_sec, 2),
@@ -138,6 +271,7 @@ def main() -> None:
             "wall_s": round(dt, 3),
             "final_loss": float(np.asarray(losses)[-1]),
             "baseline_assumption": provenance,
+            "s3_window_step": s3,
         },
     }
     print(json.dumps(out))
