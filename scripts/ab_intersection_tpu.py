@@ -48,8 +48,30 @@ def main(B: int = 4, reps: int = 6) -> None:
     def e_pallas(v):
         return batched_self_intersection_pallas(v, faces).sum()
 
+    # temporal-coherence candidates (VERDICT r4): the amortized broad
+    # phase — one forward-only sweep per window/refresh, then only the
+    # K-face subset per optimizer step
+    K = 4096
+    t0 = time.perf_counter()
+    cand_fn = jax.jit(lambda v: xi.intersection_candidates_batched(
+        v, faces, K=K, margin=0.05, frame_chunk=1))
+    cids, n_within = jax.block_until_ready(cand_fn(vb))
+    t_cand = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(cand_fn(vb * 1.0001))
+    t_cand_warm = time.perf_counter() - t0
+    print(f"candidates: K={K} n_within max={int(jnp.max(n_within))} "
+          f"(compile+run {t_cand:.0f}s, warm {t_cand_warm * 1e3:.0f} ms "
+          f"for B={B} frames — once per window, amortized over "
+          f"maxiters steps)")
+
+    def e_cand(v):
+        return xi.batched_self_intersection(
+            v, faces, candidate_ids=cids).sum()
+
     fns = {}
-    for name, f in (("dense", e_dense), ("pallas", e_pallas)):
+    for name, f in (("dense", e_dense), ("pallas", e_pallas),
+                    ("cand", e_cand)):
         t0 = time.perf_counter()
         g = jax.jit(jax.value_and_grad(f))
         out = jax.block_until_ready(g(vb))
@@ -58,10 +80,12 @@ def main(B: int = 4, reps: int = 6) -> None:
         fns[name] = (g, out)
 
     e_d, g_d = fns["dense"][1]
-    e_p, g_p = fns["pallas"][1]
-    print(f"energy rel diff : {abs(float(e_d - e_p)) / float(e_d):.3e}")
-    gs = float(jnp.abs(g_d).max())
-    print(f"grad max rel    : {float(jnp.abs(g_d - g_p).max()) / gs:.3e}")
+    for name in ("pallas", "cand"):
+        e_p, g_p = fns[name][1]
+        gs = float(jnp.abs(g_d).max())
+        print(f"{name} vs dense: energy rel "
+              f"{abs(float(e_d - e_p)) / float(e_d):.3e}, grad max rel "
+              f"{float(jnp.abs(g_d - g_p).max()) / gs:.3e}")
 
     times = {n: [] for n in fns}
     for i in range(reps):

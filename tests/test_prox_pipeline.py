@@ -613,7 +613,11 @@ class TestAllTermsPipeline:
         Runs on a deliberately coarse mesh (256 verts) and 2 iters/stage:
         the composition is what's under test, not convergence — the
         dense O(F^2) intersection inside the vmapped fit priced the
-        full-size variant at ~30 min on a 1-CPU box."""
+        full-size variant at ~30 min on a 1-CPU box. Polish is off:
+        it would compile a SECOND sequential all-terms fitter (~4 min
+        on that box) and its composition is covered by
+        test_window_parallel.py::test_polish_restores_sequential_stitching plus
+        the sequential all-terms test above."""
         from lemo_tpu.testing.synthetic import synthetic_smplx_npz
 
         base = tempfile.mkdtemp()
@@ -621,7 +625,7 @@ class TestAllTermsPipeline:
             base, num_frames=16,
             model_dict=synthetic_smplx_npz(num_verts=256), seed=5)
         cfg, assets = _all_terms_setup(
-            info, window_parallel=True, window_polish_iters=2,
+            info, window_parallel=True, window_polish_iters=0,
             batch_size=10, maxiters=2)
         results = run_prox_fitting(cfg, assets, max_windows=2,
                                    verbose=False)
