@@ -41,6 +41,16 @@ class Stage2Weights:
     contact_vel: float = 0.03
 
 
+def _weight_args(weights: "Stage2Weights") -> dict:
+    """Weights as f32 scalars to pass INTO the jitted fit (zero-weight
+    terms stay pruned at trace time from the build-time values; nonzero
+    values become traced scalars, so fitters differing only in weight
+    VALUES lower to identical HLO and share one compiled program /
+    persistent-cache entry)."""
+    return {f.name: jnp.float32(getattr(weights, f.name))
+            for f in dataclasses.fields(weights)}
+
+
 def smoothness_prior_loss(enc_params, markers_with_hand, joints_frame0,
                           stats: GlobalStats):
     """Latent-acceleration loss of the frozen smoothness encoder.
@@ -195,7 +205,7 @@ def _make_fit_core_folded(
     sel_feet = onehot_rows(_np.concatenate(_all_ids), V)
     lr_table = piecewise_lr([(0, 0.01), (61, 0.005)], num_steps)
 
-    def loss_fn(v, shape10, markers_target, contact_lbl):
+    def loss_fn(v, shape10, markers_target, contact_lbl, wv):
         C, T = markers_target.shape[0], markers_target.shape[1]
         x72 = jnp.concatenate(
             [v["transl"], rot6d_to_aa(v["rot6d"]), shape10, v["other"]],
@@ -205,31 +215,33 @@ def _make_fit_core_folded(
         out = fwd(sp, model.consts)
         verts = out["vertices"]                         # [C*T, V, 3]
         mk = take_rows(verts, sel67).reshape(C, T, 67, 3)
-        per_clip = weights.rec_markers * \
+        per_clip = wv["rec_markers"] * \
             jnp.abs(mk - markers_target).mean(axis=(1, 2, 3))  # [C]
-        per_clip = per_clip + weights.vposer * \
+        per_clip = per_clip + wv["vposer"] * \
             (x72[..., 16:48] ** 2).mean(axis=(1, 2))
-        per_clip = per_clip + weights.shape * \
+        per_clip = per_clip + wv["shape"] * \
             (x72[..., 6:16] ** 2).mean(axis=(1, 2))
-        per_clip = per_clip + weights.hand * \
+        per_clip = per_clip + wv["hand"] * \
             (x72[..., 48:] ** 2).mean(axis=(1, 2))
         if weights.smooth:
             m81 = take_rows(verts, sel81).reshape(C, T, -1, 3)
             j0 = out["joints"].reshape(C, T, -1, 3)[:, 0, :25]
-            per_clip = per_clip + weights.smooth * \
+            per_clip = per_clip + wv["smooth"] * \
                 smoothness_prior_loss_batched(
                     smooth_enc_params, m81, j0, smooth_stats,
                     reduce_clips=False)
         if weights.contact_vel:
             feet = take_rows(verts, sel_feet).reshape(C, T, -1, 3)
-            per_clip = per_clip + weights.contact_vel * \
+            per_clip = per_clip + wv["contact_vel"] * \
                 contact_friction_loss_batched(feet, contact_lbl, _slices,
                                               reduce_clips=False)
         return per_clip.sum(), per_clip
 
-    def fit_core(markers_target, contact_lbl, init72):
+    def fit_core(markers_target, contact_lbl, init72, wv=None):
         import optax
 
+        if wv is None:  # direct-jit callers: weights bake to constants
+            wv = _weight_args(weights)
         shape10 = init72[..., 6:16]  # betas frozen (opt_amass_temp.py:335)
         init_vars = {
             "transl": init72[..., 0:3],
@@ -240,7 +252,7 @@ def _make_fit_core_folded(
         opt = optax.adam(learning_rate=lambda count: lr_table[count],
                          b1=0.9, b2=0.999, eps=1e-8)
         grad_fn = jax.value_and_grad(
-            lambda v: loss_fn(v, shape10, markers_target, contact_lbl),
+            lambda v: loss_fn(v, shape10, markers_target, contact_lbl, wv),
             has_aux=True)
 
         def step(carry, _):
@@ -312,7 +324,7 @@ def _make_fit_core(
     foot_sel = (onehot_rows(_np.concatenate(_all_ids), V), _slices)
     lr_table = piecewise_lr([(0, 0.01), (61, 0.005)], num_steps)
 
-    def loss_fn(v, shape10, markers_target, contact_lbl):
+    def loss_fn(v, shape10, markers_target, contact_lbl, wv):
         x72 = jnp.concatenate(
             [v["transl"], rot6d_to_aa(v["rot6d"]), shape10, v["other"]],
             axis=-1)
@@ -324,21 +336,24 @@ def _make_fit_core(
         loss_vposer = (x72[:, 16:48] ** 2).mean()
         loss_shape = (x72[:, 6:16] ** 2).mean()
         loss_hand = (x72[:, 48:] ** 2).mean()
-        total = (weights.rec_markers * loss_marker
-                 + weights.vposer * loss_vposer
-                 + weights.shape * loss_shape
-                 + weights.hand * loss_hand)
-        # zero-weight terms pruned at trace time (weights are static)
+        total = (wv["rec_markers"] * loss_marker
+                 + wv["vposer"] * loss_vposer
+                 + wv["shape"] * loss_shape
+                 + wv["hand"] * loss_hand)
+        # zero-weight terms pruned at trace time (the BUILD-time weights
+        # gate; the values themselves are traced scalars)
         if weights.smooth:
-            total = total + weights.smooth * smoothness_prior_loss(
+            total = total + wv["smooth"] * smoothness_prior_loss(
                 smooth_enc_params, take_rows(verts, sel81),
                 out["joints"][0, :25], smooth_stats)
         if weights.contact_vel:
-            total = total + weights.contact_vel * contact_friction_loss(
+            total = total + wv["contact_vel"] * contact_friction_loss(
                 verts, contact_lbl, foot_ids, foot_sel=foot_sel)
         return total
 
-    def fit_core(markers_target, contact_lbl, init72):
+    def fit_core(markers_target, contact_lbl, init72, wv=None):
+        if wv is None:  # direct-jit callers: weights bake to constants
+            wv = _weight_args(weights)
         shape10 = init72[:, 6:16]  # betas frozen (opt_amass_temp.py:335)
         init_vars = {
             "transl": init72[:, 0:3],
@@ -346,7 +361,7 @@ def _make_fit_core(
             "other": init72[:, 16:],
         }
         final, losses, _ = run_adam(
-            lambda v: loss_fn(v, shape10, markers_target, contact_lbl),
+            lambda v: loss_fn(v, shape10, markers_target, contact_lbl, wv),
             init_vars, num_steps, lr_table)
         x72 = jnp.concatenate(
             [final["transl"], rot6d_to_aa(final["rot6d"]), shape10,
@@ -356,10 +371,25 @@ def _make_fit_core(
     return fit_core
 
 
+def _weights_from(args, kwargs) -> Stage2Weights:
+    """The `weights` value a _make_fit_core* signature received."""
+    if "weights" in kwargs:
+        return kwargs["weights"]
+    return args[8] if len(args) > 8 else Stage2Weights()
+
+
 def make_temporal_fitter(*args, **kwargs):
     """Single-clip Stage-2 fitter: fit(markers [T,67,3], contact [T,4],
-    init72 [T,72]) -> (x72, losses); compiled once, reused across clips."""
-    return jax.jit(_make_fit_core(*args, **kwargs))
+    init72 [T,72]) -> (x72, losses); compiled once, reused across clips.
+    Weight VALUES are passed into the compiled program as scalars, so
+    fitters that differ only in (nonzero) weights share one executable."""
+    jfit = jax.jit(_make_fit_core(*args, **kwargs))
+    wv = _weight_args(_weights_from(args, kwargs))
+
+    def fit(markers_target, contact_lbl, init72):
+        return jfit(markers_target, contact_lbl, init72, wv)
+
+    return fit
 
 
 def make_temporal_fitter_batched(*args, impl: str = "fold", **kwargs):
@@ -379,8 +409,13 @@ def make_temporal_fitter_batched(*args, impl: str = "fold", **kwargs):
     fused kernel is disabled — batching a pallas_call would broadcast
     its dirs operand).
     """
+    wv = _weight_args(_weights_from(args, kwargs))
     if impl == "fold":
-        fit = jax.jit(_make_fit_core_folded(*args, **kwargs))
+        jfit = jax.jit(_make_fit_core_folded(*args, **kwargs))
+
+        def fit(markers_target, contact_lbl, init72):
+            return jfit(markers_target, contact_lbl, init72, wv)
+
         # read by parallel.clip_sharded_fit: GSPMD treats the fused
         # pallas_call as an opaque custom call and would gather its ~64 MB
         # dirs operand to one device — sharded callers must build with
@@ -388,7 +423,12 @@ def make_temporal_fitter_batched(*args, impl: str = "fold", **kwargs):
         fit._lemo_fused = bool(kwargs.get("fused", True))
         return fit
     kwargs["fused"] = False
-    fit = jax.jit(jax.vmap(_make_fit_core(*args, **kwargs)))
+    jfit = jax.jit(jax.vmap(_make_fit_core(*args, **kwargs),
+                            in_axes=(0, 0, 0, None)))
+
+    def fit(markers_target, contact_lbl, init72):
+        return jfit(markers_target, contact_lbl, init72, wv)
+
     fit._lemo_fused = False
     return fit
 

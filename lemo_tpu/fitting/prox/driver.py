@@ -275,17 +275,25 @@ def _coll_candidate_ids(cfg: ProxConfig, assets: ProxAssets,
     tab = (jnp.asarray(assets.ign_table)
            if assets.ign_table is not None else None)
     K = min(int(cfg.coll_candidates), assets.model.faces.shape[0])
-    ids, n_within = intersection_candidates_batched(
+    ids, counts = intersection_candidates_batched(
         verts, jnp.asarray(assets.model.faces), K=K,
         margin=float(cfg.coll_candidates_margin), segm=segm, ign_table=tab)
-    n_max = int(np.asarray(n_within).max())
-    if n_max > K:
+    counts = np.asarray(counts)
+    n_active, n_within = int(counts[:, 0].max()), int(counts[:, 1].max())
+    if n_active > K:
         import warnings
         warnings.warn(
-            f"coll_candidates={K} < {n_max} faces within "
+            f"coll_candidates={K} < {n_active} faces with LIVE sphere "
+            "overlap at warm start — the subset energy is already "
+            "missing penetrations at refresh time; raise coll_candidates")
+    elif n_within > K:
+        import warnings
+        warnings.warn(
+            f"coll_candidates={K} < {n_within} faces within "
             f"{cfg.coll_candidates_margin} m of a collision partner at "
-            "warm start; raise coll_candidates or the term may miss "
-            "penetrations")
+            f"warm start ({n_active} live): the margin headroom is "
+            "truncated — fine for small per-window motion, raise "
+            "coll_candidates or lower coll_candidates_margin otherwise")
     return np.asarray(ids)
 
 

@@ -213,9 +213,11 @@ def intersection_candidates(
     forward-only sweep per window/refresh instead of an O(F^2)
     energy+gradient sweep per optimizer step.
 
-    Returns (ids [K] int32, n_within scalar — how many faces fall inside
-    the margin; if n_within > K the caller should warn, as with
-    cfg.sdf_candidates).
+    Returns (ids [K] int32, counts [2] int32 = (n_active, n_within)):
+    n_active faces have sphere overlap RIGHT NOW — n_active > K means
+    the subset energy is already wrong at refresh time; n_within counts
+    faces inside the safety margin — exceeding K only truncates headroom
+    for surface motion between refreshes.
     """
     verts = jax.lax.stop_gradient(verts)
     c, n, r = face_geometry(verts, faces)
@@ -277,15 +279,22 @@ def intersection_candidates(
     gaps, _ = jax.lax.scan(step, jnp.full((F,), BIG), xs)
     Keff = min(K, F)
     _, ids = jax.lax.top_k(-gaps, Keff)
+    # n_active: faces the energy fires on RIGHT NOW (sphere overlap) —
+    # if this exceeds K the subset energy is wrong at refresh time.
+    # n_within: faces within the safety margin — exceeding K only
+    # truncates headroom for surface motion between refreshes (at SMPL-X
+    # mesh density ~1.5 cm face spacing, a 5 cm margin reaches most of
+    # the body, so n_within saturating near F is expected, not an error).
+    n_active = (gaps < 0.0).sum()
     n_within = (gaps < margin).sum()
-    return ids.astype(jnp.int32), n_within
+    return ids.astype(jnp.int32), jnp.stack([n_active, n_within])
 
 
 def intersection_candidates_batched(verts_batch, faces, K: int = 4096,
                                     margin: float = 0.05,
                                     frame_chunk: int = 4, **kw):
-    """[B, V, 3] -> (ids [B, K], n_within [B]): per-frame candidate faces
-    (each frame's fit stays within `margin` of ITS warm start)."""
+    """[B, V, 3] -> (ids [B, K], counts [B, 2]): per-frame candidate
+    faces (each frame's fit stays within `margin` of ITS warm start)."""
     one = lambda v: intersection_candidates(v, faces, K=K, margin=margin,
                                             **kw)  # noqa: E731
     B = verts_batch.shape[0]
@@ -297,9 +306,9 @@ def intersection_candidates_batched(verts_batch, faces, K: int = 4096,
                                        (pad,) + verts_batch.shape[1:])]) \
         if pad else verts_batch
     chunks = vb.reshape(-1, frame_chunk, *verts_batch.shape[1:])
-    ids, n_within = jax.lax.map(jax.vmap(one), chunks)
+    ids, counts = jax.lax.map(jax.vmap(one), chunks)
     Keff = ids.shape[-1]
-    return ids.reshape(-1, Keff)[:B], n_within.reshape(-1)[:B]
+    return ids.reshape(-1, Keff)[:B], counts.reshape(-1, 2)[:B]
 
 
 # Narrow-phase implementation:

@@ -55,12 +55,14 @@ def main(B: int = 4, reps: int = 6) -> None:
     t0 = time.perf_counter()
     cand_fn = jax.jit(lambda v: xi.intersection_candidates_batched(
         v, faces, K=K, margin=0.05, frame_chunk=1))
-    cids, n_within = jax.block_until_ready(cand_fn(vb))
+    cids, counts = jax.block_until_ready(cand_fn(vb))
     t_cand = time.perf_counter() - t0
     t0 = time.perf_counter()
     jax.block_until_ready(cand_fn(vb * 1.0001))
     t_cand_warm = time.perf_counter() - t0
-    print(f"candidates: K={K} n_within max={int(jnp.max(n_within))} "
+    print(f"candidates: K={K} n_active max="
+          f"{int(jnp.max(counts[:, 0]))} n_within max="
+          f"{int(jnp.max(counts[:, 1]))} "
           f"(compile+run {t_cand:.0f}s, warm {t_cand_warm * 1e3:.0f} ms "
           f"for B={B} frames — once per window, amortized over "
           f"maxiters steps)")

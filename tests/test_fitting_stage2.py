@@ -146,7 +146,10 @@ def test_folded_batched_matches_vmap(setup):
     per-clip loss layout [C, S]."""
     model, vpp, ids67, ids81, enc, stats, feet = setup
     rng = np.random.RandomState(7)
-    C, T, S = 3, 10, 5
+    # (C, T, S) matches test_batched_fitter_matches_per_clip so the
+    # vmapped core here is a persistent-compile-cache hit (weights enter
+    # the program as traced scalars, so shapes are all that matter)
+    C, T, S = 3, 12, 5
     target = jnp.asarray(rng.randn(C, T, 67, 3).astype(np.float32) * 0.2)
     contact = jnp.asarray((rng.rand(C, T, 4) > 0.5).astype(np.float32))
     init72 = jnp.asarray(rng.randn(C, T, 72).astype(np.float32) * 0.1)
@@ -172,7 +175,9 @@ def test_folded_nan_freeze_is_per_clip(setup):
     poisoned clip, and the poisoned clip's params stay at its init."""
     model, vpp, ids67, ids81, enc, stats, feet = setup
     rng = np.random.RandomState(9)
-    C, T, S = 3, 10, 6
+    # same (C, T, S) as test_folded_batched_matches_vmap: the folded
+    # core compile is shared through the persistent cache
+    C, T, S = 3, 12, 5
     target = rng.randn(C, T, 67, 3).astype(np.float32) * 0.2
     contact = (rng.rand(C, T, 4) > 0.5).astype(np.float32)
     init72 = rng.randn(C, T, 72).astype(np.float32) * 0.1

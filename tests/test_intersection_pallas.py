@@ -216,10 +216,12 @@ class TestTemporalCoherenceCandidates:
         reproduce the full F^2 energy (the refresh-every-step contract)."""
         verts, faces = _posed_body(seed=5, pose_scale=0.9)
         full = xi.batched_self_intersection(verts[None], faces)
-        ids, n_within = xi.intersection_candidates(
+        ids, counts = xi.intersection_candidates(
             verts, faces, K=int(faces.shape[0]), margin=0.0)
         # every face with an overlapping partner sits inside margin 0
-        for K in (int(n_within), int(n_within) + 37):
+        # (counts = [n_active, n_within]; identical at margin 0)
+        assert int(counts[0]) == int(counts[1])
+        for K in (int(counts[1]), int(counts[1]) + 37):
             sub = xi.batched_self_intersection(
                 verts[None], faces, candidate_ids=ids[:K][None])
             np.testing.assert_allclose(np.asarray(sub), np.asarray(full),
@@ -227,9 +229,9 @@ class TestTemporalCoherenceCandidates:
 
     def test_gradients_match_on_subset(self):
         verts, faces = _posed_body(seed=6, pose_scale=0.9)
-        ids, n_within = xi.intersection_candidates(
+        ids, counts = xi.intersection_candidates(
             verts, faces, K=int(faces.shape[0]), margin=0.0)
-        K = int(n_within) + 8
+        K = int(counts[1]) + 8
 
         g_full = jax.grad(
             lambda v: xi.batched_self_intersection(v[None], faces).sum()
@@ -266,9 +268,9 @@ class TestTemporalCoherenceCandidates:
         delta = jnp.asarray(rng.randn(*verts.shape) * 0.002, jnp.float32)
         delta = jnp.clip(delta, -0.005, 0.005)  # |dv| <= 8.7 mm < m/2
         moved = verts + delta
-        ids, n_within = xi.intersection_candidates(
+        ids, counts = xi.intersection_candidates(
             verts, faces, K=int(faces.shape[0]), margin=0.05)
-        K = int(n_within)
+        K = int(counts[1])
         full = xi.batched_self_intersection(moved[None], faces)
         sub = xi.batched_self_intersection(
             moved[None], faces, candidate_ids=ids[:K][None])
@@ -283,25 +285,25 @@ class TestTemporalCoherenceCandidates:
         # every face in part 0, all pairs ignored -> nothing is a candidate
         segm = jnp.zeros((F,), jnp.int32)
         tab = jnp.ones((1, 1), bool)
-        _, n_within = xi.intersection_candidates(
+        _, counts = xi.intersection_candidates(
             verts, faces, K=F, margin=1e9, segm=segm, ign_table=tab)
-        assert int(n_within) == 0
+        assert int(counts[1]) == 0
 
     def test_batched_per_frame_candidates(self):
         verts, faces = _posed_body(seed=8, pose_scale=0.8)
         vb = jnp.stack([verts, verts + 0.001, verts - 0.001])
         # size K to the active set (a real caller gets the same signal
         # from the n_within > K warning in driver._coll_candidate_ids)
-        _, nw0 = xi.intersection_candidates(verts, faces,
-                                            K=int(faces.shape[0]),
-                                            margin=0.0)
-        K = min(int(nw0) + 64, int(faces.shape[0]))
-        ids, n_within = xi.intersection_candidates_batched(
+        _, c0 = xi.intersection_candidates(verts, faces,
+                                           K=int(faces.shape[0]),
+                                           margin=0.0)
+        K = min(int(c0[1]) + 64, int(faces.shape[0]))
+        ids, counts = xi.intersection_candidates_batched(
             vb, faces, K=K, margin=0.0, frame_chunk=2)
-        assert ids.shape == (3, K) and n_within.shape == (3,)
+        assert ids.shape == (3, K) and counts.shape == (3, 2)
         full = xi.batched_self_intersection(vb, faces)
         # per-frame subsets must cover each frame's active set
-        assert int(np.asarray(n_within).max()) <= K
+        assert int(np.asarray(counts)[:, 1].max()) <= K
         sub = xi.batched_self_intersection(vb, faces, candidate_ids=ids)
         np.testing.assert_allclose(np.asarray(sub), np.asarray(full),
                                    rtol=GATE_RTOL)
