@@ -99,6 +99,15 @@ class ProxConfig:
     m2s_weights: list = dataclasses.field(default_factory=lambda: [1.0])
     rho_s2m: float = 0.2
     rho_m2s: float = 0.5
+    # temporal-coherence candidates for the depth Chamfer terms (opt-in):
+    # evaluate s2m/m2s only on the K scan points / K body vertices whose
+    # WARM-START counterpart is within `depth_candidates_margin` (one
+    # exact bidirectional Chamfer pass per window picks them; non-
+    # candidates contribute their frozen warm-start robustified distance,
+    # so the energy is exact at refresh time). Cuts the Chamfer pair
+    # count from S*V to K^2 per frame. 0 = off (full clouds, exact).
+    depth_candidates: int = 0
+    depth_candidates_margin: float = 0.1
     # optimizer steps per device dispatch (tunneled-TPU watchdog guard;
     # lower it when slow terms like interpenetration are enabled)
     steps_per_dispatch: int = 100

@@ -297,6 +297,110 @@ def _coll_candidate_ids(cfg: ProxConfig, assets: ProxAssets,
     return np.asarray(ids)
 
 
+def _gmof_np(d: np.ndarray, rho: float) -> np.ndarray:
+    sq = d ** 2
+    return (rho ** 2) * sq / (sq + rho ** 2)
+
+
+def _depth_candidate_data(cfg: ProxConfig, assets: ProxAssets, warm: dict,
+                          st) -> tuple:
+    """Per-frame candidate ids + frozen remainders for the depth Chamfer
+    terms (cfg.depth_candidates): one exact bidirectional Chamfer pass on
+    the warm-start geometry picks, per frame, the Ks scan points nearest
+    the visible body and the Kv body vertices nearest the scan; the loss
+    then runs Ks x Kv instead of S x V per frame (losses.depth_terms,
+    fitting_temp_slide.py:637-670 is the reference's full-cloud form).
+
+    The frozen pairs are (full-cloud warm value) minus (candidate-subset
+    warm value, computed exactly as the loss computes the live part), so
+    the subset energy reproduces the exact term at refresh time BY
+    CONSTRUCTION at any K; in-window motion is the only approximation
+    (the sdf_candidates/coll_candidates contract)."""
+    import warnings
+
+    import jax
+
+    from lemo_tpu.ops.chamfer_pallas import nn_distance_best as nn_distance
+    from lemo_tpu.ops.visibility import vertex_normals, visibility_zbuffer
+
+    verts = _warm_start_vertices(cfg, assets, warm)     # [T, V, 3] cam
+    scan, scan_m = st.scan, st.scan_mask
+    T, S = int(scan.shape[0]), int(scan.shape[1])
+    V = int(verts.shape[1])
+    Ks = min(int(cfg.depth_candidates), S)
+    Kv = min(int(cfg.depth_candidates), V)
+    cam = st.camera
+
+    def per_frame(v, sc, sm_f):
+        normals = (vertex_normals(v, st.faces_vis)
+                   if st.faces_vis is not None else None)
+        vis = visibility_zbuffer(
+            v, cam.focal_length_x, cam.focal_length_y, cam.center[0],
+            cam.center[1], st.image_size[0], st.image_size[1],
+            normals=normals)
+        d2s, _ = nn_distance(sc, v, vis)                # scan -> body
+        d2v, _ = nn_distance(v, sc, sm_f)               # body -> scan
+        return jnp.sqrt(d2s + 1e-12), jnp.sqrt(d2v + 1e-12), vis
+
+    verts_j = jnp.asarray(verts)
+    ds, dv, vis = jax.vmap(per_frame)(verts_j, scan, scan_m)
+    ds, dv = np.asarray(ds), np.asarray(dv)             # [T,S], [T,V]
+    vis_np = np.asarray(vis).astype(bool)
+    sm = np.asarray(scan_m) > 0
+    bm = np.asarray(st.body_mask) > 0
+
+    # candidates: valid scan points nearest the body / vertices nearest
+    # the scan (invalid scan points sort to the end; any picked as pad
+    # contribute 0 through their validity mask)
+    sids = np.argsort(np.where(sm, ds, np.inf), axis=1)[:, :Ks] \
+        .astype(np.int32)
+    vids = np.argsort(dv, axis=1)[:, :Kv].astype(np.int32)
+
+    margin = float(cfg.depth_candidates_margin)
+    n_s = int((np.where(sm, ds, np.inf) < margin).sum(axis=1).max())
+    n_v = int((dv < margin).sum(axis=1).max())
+    if n_s > Ks or n_v > Kv:
+        warnings.warn(
+            f"depth_candidates={cfg.depth_candidates} < {max(n_s, n_v)} "
+            f"scan points/vertices within {margin} m at warm start: the "
+            "energy is exact at refresh but the margin headroom for "
+            "in-window motion is truncated; raise depth_candidates")
+
+    # candidate-subset distances at warm start, computed exactly as the
+    # loss computes the live part (NN restricted to the candidate clouds)
+    def per_frame_sub(v, sc, sm_f, vis_f, si, vi):
+        v_c, vis_c = v[vi], vis_f[vi]
+        sc_c, sm_c = sc[si], sm_f[si]
+        d2s, _ = nn_distance(sc_c, v_c, vis_c)
+        d2v, _ = nn_distance(v_c, sc_c, sm_c)
+        return jnp.sqrt(d2s + 1e-12), jnp.sqrt(d2v + 1e-12)
+
+    ds_c, dv_c = jax.vmap(per_frame_sub)(
+        verts_j, scan, scan_m, jnp.asarray(vis), jnp.asarray(sids),
+        jnp.asarray(vids))
+    ds_c, dv_c = np.asarray(ds_c), np.asarray(dv_c)
+
+    ar = np.arange(T)[:, None]
+    # s2m: frozen = full masked gmof sum - candidate warm sum; the count
+    # is the FULL valid count (scan validity is static)
+    full_s = (_gmof_np(ds, cfg.rho_s2m) * sm).sum(axis=1)
+    live_s = (_gmof_np(ds_c, cfg.rho_s2m) * sm[ar, sids]).sum(axis=1)
+    s2m_frozen = np.stack(
+        [full_s - live_s, sm.sum(axis=1).astype(np.float64)],
+        axis=1).astype(np.float32)
+    # m2s: visibility is live in the loss, so both the frozen sum and the
+    # frozen count are (full - candidate) at warm visibility
+    mask_full = vis_np & bm[None, :]
+    mask_live = vis_np[ar, vids] & bm[vids]
+    full_m = (_gmof_np(dv, cfg.rho_m2s) * mask_full).sum(axis=1)
+    live_m = (_gmof_np(dv_c, cfg.rho_m2s) * mask_live).sum(axis=1)
+    m2s_frozen = np.stack(
+        [full_m - live_m,
+         (mask_full.sum(axis=1) - mask_live.sum(axis=1)).astype(np.float64)],
+        axis=1).astype(np.float32)
+    return sids, vids, s2m_frozen, m2s_frozen
+
+
 def stage_joint_weights(cfg: ProxConfig, joint_weights: np.ndarray,
                         stage: int = 0) -> np.ndarray:
     """Per-stage hand/face keypoint weights (the reference re-assigns
@@ -378,6 +482,14 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
     if cfg.interpenetration and getattr(cfg, "coll_candidates", 0) > 0:
         cids = _coll_candidate_ids(cfg, assets, window_data["warm_start"])
         st = dataclasses.replace(st, coll_candidate_ids=jnp.asarray(cids))
+    if ((cfg.s2m or cfg.m2s) and st.scan is not None
+            and getattr(cfg, "depth_candidates", 0) > 0):
+        sids, vids, s2m_fr, m2s_fr = _depth_candidate_data(
+            cfg, assets, window_data["warm_start"], st)
+        st = dataclasses.replace(
+            st, depth_scan_cand_ids=jnp.asarray(sids),
+            depth_vert_cand_ids=jnp.asarray(vids),
+            s2m_frozen=jnp.asarray(s2m_fr), m2s_frozen=jnp.asarray(m2s_fr))
     if infill_result is not None:
         st = dataclasses.replace(
             st, infill_targets=infill_result.targets_world,
@@ -543,9 +655,7 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
             for i in range(n_windows)]
     statics = [build_window_static(cfg, assets, rec, wd, jw, ir)
                for wd, ir in zip(window_data, infill_results)]
-    _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
-                   "marker_mask", "infill_targets", "infill_contact_lbl",
-                   "sdf_candidate_ids", "coll_candidate_ids"}
+    from lemo_tpu.fitting.prox.losses import PER_WINDOW_FIELDS as _PER_WINDOW
     batch_kw = {}
     for f in _dc.fields(statics[0].__class__):
         vals = [getattr(s, f.name) for s in statics]

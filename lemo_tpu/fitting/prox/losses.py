@@ -127,6 +127,18 @@ class ProxStatic:
     # coll_candidates_margin of sphere overlap — the subset the cone
     # energy is evaluated on (ops.intersection.intersection_candidates)
     coll_candidate_ids: Any = None  # [T, K] int32
+    # depth-term temporal-coherence candidates (cfg.depth_candidates):
+    # per frame, the K scan points nearest the warm-start body and the K
+    # body vertices nearest the scan (one exact bidirectional Chamfer
+    # pass per window, driver._depth_candidate_data). The s2m/m2s terms
+    # then run K x K instead of S x V; non-candidates contribute their
+    # FROZEN warm-start robustified distances via the (sum, count) pairs
+    # so the energy is exact at refresh time (K=S/V reproduces the full
+    # term).
+    depth_scan_cand_ids: Any = None  # [T, Ks] int32
+    depth_vert_cand_ids: Any = None  # [T, Kv] int32
+    s2m_frozen: Any = None           # [T, 2]: (frozen gmof sum, n_valid)
+    m2s_frozen: Any = None           # [T, 2]: (frozen gmof*vis sum, count)
     # depth-term visibility: body topology for per-frame vertex normals
     # (backface culling — the cheap exact self-occlusion test; see
     # ops.visibility.visibility_zbuffer)
@@ -142,9 +154,19 @@ _STATIC_ARRAY_FIELDS = [
     "smooth_stats", "smooth_marker_ids", "infill_targets",
     "infill_contact_lbl", "marker_mask", "infill_marker_ids",
     "sdf_candidate_ids", "faces", "faces_segm", "ign_table",
-    "coll_candidate_ids", "faces_vis",
+    "coll_candidate_ids", "depth_scan_cand_ids", "depth_vert_cand_ids",
+    "s2m_frozen", "m2s_frozen", "faces_vis",
 ]
 _STATIC_AUX_FIELDS = ["camera", "image_size"]
+
+# fields that carry a per-window leading axis when a recording's windows
+# are batched (window.make_batched_window_fitter / the window-parallel
+# driver); everything else is shared across windows and broadcasts
+PER_WINDOW_FIELDS = frozenset({
+    "gt_joints", "joints_conf", "scan", "scan_mask", "marker_mask",
+    "infill_targets", "infill_contact_lbl", "sdf_candidate_ids",
+    "coll_candidate_ids", "depth_scan_cand_ids", "depth_vert_cand_ids",
+    "s2m_frozen", "m2s_frozen"})
 
 
 def _prox_static_flatten(st: ProxStatic):
@@ -196,15 +218,18 @@ def depth_terms(verts_cam, st: ProxStatic, w: ProxWeights):
     from lemo_tpu.ops.visibility import vertex_normals
 
     cam = st.camera
+    cand = st.depth_scan_cand_ids is not None
 
-    def per_frame(v, scan, scan_m):
-        v_sg = jax.lax.stop_gradient(v)
+    def frame_vis(v_sg):
         normals = (vertex_normals(v_sg, st.faces_vis)
                    if st.faces_vis is not None else None)
-        vis = visibility_zbuffer(
+        return visibility_zbuffer(
             v_sg, cam.focal_length_x, cam.focal_length_y,
             cam.center[0], cam.center[1],
             st.image_size[0], st.image_size[1], normals=normals)
+
+    def per_frame(v, scan, scan_m):
+        vis = frame_vis(jax.lax.stop_gradient(v))
         s2m = 0.0
         m2s = 0.0
         if w.s2m > 0:
@@ -218,7 +243,46 @@ def depth_terms(verts_cam, st: ProxStatic, w: ProxWeights):
             m2s = robust.masked_mean(ds, mask)
         return s2m, m2s
 
-    s2m, m2s = jax.vmap(per_frame)(verts_cam, st.scan, st.scan_mask)
+    def per_frame_cand(v, scan, scan_m, sids, vids, s2m_fr, m2s_fr):
+        # temporal-coherence subset (driver._depth_candidate_data): live
+        # K x K Chamfer on the candidate clouds; non-candidates enter as
+        # the frozen warm-start (sum, count) pairs, so the energy equals
+        # the full term exactly at refresh time. The z-buffer still
+        # splats the FULL body (occlusion needs all vertices); only the
+        # pairwise-distance work shrinks.
+        vis = frame_vis(jax.lax.stop_gradient(v))
+        v_c = v[vids]
+        vis_c = vis[vids]
+        scan_c = scan[sids]
+        scan_m_c = scan_m[sids]
+        s2m = 0.0
+        m2s = 0.0
+        if w.s2m > 0:
+            d2, _ = nn_distance(scan_c, v_c, vis_c)
+            ds = robust.gmof(jnp.sqrt(d2 + 1e-12), w.rho_s2m)
+            live = (ds * scan_m_c.astype(ds.dtype)).sum()
+            n_valid = s2m_fr[1]
+            s2m = jnp.where(n_valid > 0,
+                            (live + s2m_fr[0]) / jnp.maximum(n_valid, 1.0),
+                            0.0)
+        if w.m2s > 0:
+            mask_c = jnp.logical_and(vis_c, st.body_mask[vids])
+            d2, _ = nn_distance(v_c, scan_c, scan_m_c)
+            ds = robust.gmof(jnp.sqrt(d2 + 1e-12), w.rho_m2s)
+            mask_f = mask_c.astype(ds.dtype)
+            live = (ds * mask_f).sum()
+            cnt = mask_f.sum() + m2s_fr[1]
+            m2s = jnp.where(cnt > 0,
+                            (live + m2s_fr[0]) / jnp.maximum(cnt, 1.0),
+                            0.0)
+        return s2m, m2s
+
+    if cand:
+        s2m, m2s = jax.vmap(per_frame_cand)(
+            verts_cam, st.scan, st.scan_mask, st.depth_scan_cand_ids,
+            st.depth_vert_cand_ids, st.s2m_frozen, st.m2s_frozen)
+    else:
+        s2m, m2s = jax.vmap(per_frame)(verts_cam, st.scan, st.scan_mask)
     return s2m.mean() * w.s2m, m2s.mean() * w.m2s
 
 

@@ -296,9 +296,7 @@ def make_batched_window_fitter(
 
     opt = create_optimizer(optim_type, lr)  # raises on unknown types
 
-    _PER_WINDOW = {"gt_joints", "joints_conf", "scan", "scan_mask",
-                   "marker_mask", "infill_targets", "infill_contact_lbl",
-                   "sdf_candidate_ids", "coll_candidate_ids"}
+    from lemo_tpu.fitting.prox.losses import PER_WINDOW_FIELDS as _PER_WINDOW
     # in_axes prefix tree: same ProxStatic structure/aux as the template,
     # 0 on per-window fields, None elsewhere
     from lemo_tpu.fitting.prox.losses import _STATIC_ARRAY_FIELDS, \

@@ -1,18 +1,18 @@
-"""Wall-clock A/B of an `interpenetration: True` PROX window on the real
-TPU: full Pallas self-intersection every step vs the temporal-coherence
-candidate broad phase (VERDICT r3 ask #2).
+"""Wall-clock A/B of the depth (s2m/m2s) Chamfer terms on the real TPU:
+full-cloud per-iteration Chamfer vs the temporal-coherence candidate
+subsets (cfg.depth_candidates).
 
-The reference rebuilds a CUDA BVH every optimizer step
-(fit_temp_loadprox_slide.py:319-344, fitting_temp_slide.py:618-635); the
-round-3 fused Pallas kernel brought the dense sweep to 21-25.7 ms/frame
-but a 900-iter B=100 window still cost ~32 min. The candidate path
-computes the active face set ONCE per window from stop-gradient
-warm-start geometry with a margin (driver._coll_candidate_ids) and
-evaluates the cone energy on that [T, K] subset every step — the
-amortized analog of the BVH broad phase.
+The reference computes both directions over the full clouds every
+iteration (20k scan pts x 10475 verts per frame,
+fitting_temp_slide.py:637-670) plus a per-frame CPU visibility
+round-trip; our exact path already fuses that on-device (Pallas NN +
+z-buffer visibility, PERF.md: s2m +208 ms, m2s +103 ms per window step).
+The candidate path cuts the pairwise work to K x K per frame with frozen
+warm-start remainders (driver._depth_candidate_data) — exact at refresh
+time by construction.
 
-Run (TPU):  python scripts/ab_interpen_window_tpu.py
-            [--frames 100] [--maxiters 100] [--modes cand,pallas]
+Run (TPU):  python scripts/ab_depth_candidates_tpu.py
+            [--frames 100] [--maxiters 100] [--modes cand,exact]
 """
 
 from __future__ import annotations
@@ -33,12 +33,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--maxiters", type=int, default=100)
-    ap.add_argument("--coll_candidates", type=int, default=4096)
-    ap.add_argument("--modes", default="cand,pallas",
-                    help="comma list: cand, pallas")
-    # the tunneled dev chip's watchdog kills dispatches that run minutes;
-    # at ~2.1 s/step the full-sweep mode must chunk far below the default
-    ap.add_argument("--steps_per_dispatch_pallas", type=int, default=5)
+    ap.add_argument("--depth_candidates", type=int, default=2048)
+    ap.add_argument("--modes", default="cand,exact",
+                    help="comma list: cand, exact")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for a smoke run)")
     ap.add_argument("--out", default="")
@@ -57,12 +54,12 @@ def main(argv=None):
         write_synthetic_prox_recording
 
     print("device:", jax.devices()[0], flush=True)
-    md = synthetic_smplx_npz(full_size=True)   # 10475 verts, 20908 faces
+    md = synthetic_smplx_npz(full_size=True)   # 10475 verts
     base = tempfile.mkdtemp()
     t0 = time.time()
     info = write_synthetic_prox_recording(
         base, num_frames=args.frames + 5, model_dict=md, seed=0,
-        write_depth=False)
+        write_depth=True)
     print(f"recording built in {time.time() - t0:.0f}s", flush=True)
     model = load_model(md, use_pca=True, num_pca_comps=12)
     assets = ProxAssets(model=model, vposer_params=info["vposer_params"],
@@ -73,21 +70,18 @@ def main(argv=None):
             recording_dir=info["recording_dir"],
             output_folder=tempfile.mkdtemp(),
             batch_size=args.frames, maxiters=args.maxiters, lr=0.005,
-            flip=False, s2m=False, m2s=False, read_depth=False,
-            read_mask=False, sdf_penetration=False, use_friction=False,
+            flip=False, s2m=True, m2s=True, read_depth=True,
+            read_mask=True, init_mode="none",
+            sdf_penetration=False, use_friction=False,
             use_motion_smooth_prior=False, use_motion_infill_prior=False,
-            contact=False,
-            interpenetration=True,
-            coll_frame_chunk=10,
-            coll_candidates=args.coll_candidates if cand else 0,
-            steps_per_dispatch=min(
-                50 if cand else args.steps_per_dispatch_pallas,
-                args.maxiters),
+            contact=False, interpenetration=False,
+            depth_candidates=args.depth_candidates if cand else 0,
+            steps_per_dispatch=min(50, args.maxiters),
         )
 
     out = {"frames": args.frames, "maxiters": args.maxiters,
-           "faces": int(model.faces.shape[0]),
-           "coll_candidates": args.coll_candidates,
+           "verts": int(model.num_verts),
+           "depth_candidates": args.depth_candidates,
            "device": str(jax.devices()[0])}
     for mode in args.modes.split(","):
         cfg = cfg_for(mode == "cand")
@@ -95,23 +89,21 @@ def main(argv=None):
         res = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)
         dt = time.time() - t0
         loss = float(res[0].final_loss)
-        pen = float(np.asarray(
-            res[0].term_history.get("self_penetration_loss",
-                                    [np.nan]))[-1]) \
-            if res[0].term_history else float("nan")
+        th = res[0].term_history or {}
         out[mode] = {
             "wall_s": round(dt, 1),
             "ms_per_step": round(dt / args.maxiters * 1e3, 1),
             "final_loss": round(loss, 4),
-            "final_interpen": pen,
+            "final_s2m": float(np.asarray(th.get("s2m_dist", [np.nan]))[-1]),
+            "final_m2s": float(np.asarray(th.get("m2s_dist", [np.nan]))[-1]),
         }
         print(f"[{mode}] {dt:.1f}s ({dt / args.maxiters * 1e3:.0f} "
               f"ms/step incl. compile+IO), final loss {loss:.4f}",
               flush=True)
 
-    if "cand" in out and "pallas" in out:
+    if "cand" in out and "exact" in out:
         out["speedup"] = round(
-            out["pallas"]["wall_s"] / out["cand"]["wall_s"], 2)
+            out["exact"]["wall_s"] / out["cand"]["wall_s"], 2)
         print(f"candidate speedup: {out['speedup']}x", flush=True)
     if args.out:
         with open(args.out, "w") as fh:
