@@ -283,8 +283,8 @@ def _coll_candidate_ids(cfg: ProxConfig, assets: ProxAssets,
     if n_active > K:
         import warnings
         warnings.warn(
-            f"coll_candidates={K} < {n_active} faces with LIVE sphere "
-            "overlap at warm start — the subset energy is already "
+            f"coll_candidates={K} < {n_active} faces on FIRING energy "
+            "pairs at warm start — the subset energy is already "
             "missing penetrations at refresh time; raise coll_candidates")
     elif n_within > K:
         import warnings
@@ -294,7 +294,11 @@ def _coll_candidate_ids(cfg: ProxConfig, assets: ProxAssets,
             f"warm start ({n_active} live): the margin headroom is "
             "truncated — fine for small per-window motion, raise "
             "coll_candidates or lower coll_candidates_margin otherwise")
-    return np.asarray(ids)
+    # top_k returns ids in score order — spatially scattered, which
+    # defeats the Pallas subset kernel's tile-sphere block skipping.
+    # Face-id order restores the mesh's spatial coherence; the subset
+    # energy is order-invariant.
+    return np.sort(np.asarray(ids), axis=-1)
 
 
 def _gmof_np(d: np.ndarray, rho: float) -> np.ndarray:

@@ -28,6 +28,20 @@ phase this covers every overlapping pair (the BVH semantics) instead of
 the k nearest, measures 4.6x faster at PROX production scale (6.9 s vs
 32 s per value_and_grad step at B=100, F=20946 on v5e), and its peak
 memory is O(F * col_block) instead of O(F * k * 9).
+
+The [spheres overlap] gate alone is NOT the BVH semantics: the reference
+only evaluates the cone field on triangle pairs that actually INTERSECT
+(bvh.cu's tri-tri test), so a thin closed part (a finger) contributes
+nothing at rest — whereas each face's cone stares straight at the
+part's opposite wall (depth > 0, lateral ~ 0), which for parts thinner
+than two face radii also passes the sphere test. The cheap TPU stand-in
+for the tri-tri test is the two-way plane-straddle gate: a pair only
+counts when each triangle has vertices on BOTH sides of the other's
+plane — a necessary condition for triangle intersection that kills the
+opposite-wall artifact (all its vertices lie on one side) and all
+near-coplanar neighbour pairs, while keeping every genuinely crossing
+pair. Like the sphere and part masks it is a hard (non-differentiated)
+gate.
 """
 
 from __future__ import annotations
@@ -144,6 +158,8 @@ def self_intersection_loss(
     col_tri = padc(tri).reshape(n_blk, col_block, 3, 3)
     col_valid = padc(jnp.ones((F,), jnp.float32)).reshape(n_blk, col_block)
     xs = {"cj": col_c, "rj": col_r, "trij": col_tri, "validj": col_valid,
+          "nj": padc(n).reshape(n_blk, col_block, 3),
+          "sj": padc(s).reshape(n_blk, col_block),
           "fj": padc(faces, fill=-1).reshape(n_blk, col_block, 3)}
     if irow is not None:
         xs["segj"] = padc(segm).reshape(n_blk, col_block)
@@ -167,11 +183,30 @@ def self_intersection_loss(
             onehot = jax.nn.one_hot(inp["segj"], irow.shape[1],
                                     dtype=jnp.float32)
             m = m & ((irow @ onehot.T) < 0.5)
+        # depths of face j's vertices in face i's plane field (also the
+        # forward half of the straddle gate)
+        depths = []
+        for a in range(3):
+            v = trij[:, a]                                  # [B, 3]
+            depths.append(s[:, None]
+                          - jnp.matmul(n, v.T, precision=hi))  # [F, B]
+        dmin = jnp.minimum(jnp.minimum(depths[0], depths[1]), depths[2])
+        dmax = jnp.maximum(jnp.maximum(depths[0], depths[1]), depths[2])
+        # reverse straddle: face i's vertices against face j's plane
+        nj, sj = inp["nj"], inp["sj"]
+        rmin = rmax = None
+        for a in range(3):
+            dr = sj[None, :] - jnp.matmul(tri[:, a], nj.T, precision=hi)
+            rmin = dr if rmin is None else jnp.minimum(rmin, dr)
+            rmax = dr if rmax is None else jnp.maximum(rmax, dr)
+        # two-way plane-straddle gate (tri-tri necessary condition) —
+        # hard gate, like the sphere test
+        m = m & (dmin < 0) & (dmax > 0) & (rmin < 0) & (rmax > 0)
         # cone field of face i at the 3 vertices of face j
         e = acc
         for a in range(3):
             v = trij[:, a]                                  # [B, 3]
-            depth = s[:, None] - jnp.matmul(n, v.T, precision=hi)  # [F, B]
+            depth = depths[a]
             lat2 = ((v ** 2).sum(-1)[None]
                     - 2.0 * jnp.matmul(c, v.T, precision=hi)
                     + c2[:, None] - depth ** 2)
@@ -193,37 +228,61 @@ def intersection_candidates(
     faces: jnp.ndarray,          # [F, 3] int
     K: int = 4096,
     margin: float = 0.05,
+    sigma: float = 0.5,
     segm: jnp.ndarray | None = None,
     ign_table: jnp.ndarray | None = None,
-    col_block: int = 2048,
+    col_block: int = 1024,
 ):
-    """Temporal-coherence broad phase: the K faces nearest to a valid
-    collision partner, from STOP-GRADIENT geometry.
+    """Temporal-coherence broad phase: the K faces nearest to FIRING the
+    penetration energy, from STOP-GRADIENT geometry.
 
-    For each face computes gap_i = min_j |c_i - c_j| - (r_i + r_j) over
-    valid partners j (non-adjacent, not part-filtered) — the signed
-    bounding-sphere clearance, negative iff the energy's sphere test
-    fires. Faces with gap < margin could start overlapping a partner
-    after the surface moves by margin/2; the K smallest-gap face ids are
-    returned (extra ids beyond the active set are harmless — the subset
-    energy re-applies every mask).
+    A directed pair (i cone-owner, j vertex-supplier) contributes energy
+    iff ALL of (self_intersection_loss's gates): spheres overlap
+    (|c_i - c_j| < r_i + r_j), the triangles straddle each other's
+    planes (both ways), some vertex v of tri_j is behind face i's plane
+    (depth > 0) AND inside its cone (lat < sigma * r_i), and the pair is
+    valid (non-adjacent, not part-filtered). The pair's *slack* is how
+    far the loosest-missing gate is from firing:
+
+        slack(i, j) = max(d - (r_i + r_j),
+                          max(min_v depth_v, -max_v depth_v),   [straddle]
+                          max(min_u rdepth_u, -max_u rdepth_u),
+                          min_v max(-depth_v, lat_v - sigma * r_i))
+
+    negative iff the pair fires right now; < margin iff every gate is
+    within `margin` of firing, i.e. the pair can only start contributing
+    after the relevant surface points move O(margin). A face's score is
+    the min slack over all directed pairs it appears in — EITHER role,
+    since the subset energy needs both endpoints of a firing pair. A
+    sphere-only score is useless here: on a smooth mesh every face
+    sphere-overlaps its second-ring neighbours (shared-vertex adjacency
+    doesn't reach them), so ~all F faces are "sphere-live" while only a
+    handful pass the straddle + cone gates.
 
     This is the role the reference's per-step CUDA BVH rebuild plays
-    (fit_temp_loadprox_slide.py:319-344), amortized: one O(F^2)
-    forward-only sweep per window/refresh instead of an O(F^2)
+    (fit_temp_loadprox_slide.py:319-344 — a true tri-tri intersection
+    broad phase, equally blind to coplanar neighbours), amortized: one
+    O(F^2) forward-only sweep per window/refresh instead of an O(F^2)
     energy+gradient sweep per optimizer step.
 
     Returns (ids [K] int32, counts [2] int32 = (n_active, n_within)):
-    n_active faces have sphere overlap RIGHT NOW — n_active > K means
-    the subset energy is already wrong at refresh time; n_within counts
-    faces inside the safety margin — exceeding K only truncates headroom
-    for surface motion between refreshes.
+    n_active faces belong to a pair that fires RIGHT NOW — n_active > K
+    means the subset energy is already wrong at refresh time; n_within
+    counts faces inside the safety margin — exceeding K only truncates
+    headroom for surface motion between refreshes.
     """
     verts = jax.lax.stop_gradient(verts)
+    # identical recentering + HIGHEST-precision matmuls to
+    # self_intersection_loss so the exact-fire clamp below reproduces the
+    # energy's razor-edge gate decisions bit-for-bit
+    verts = verts - verts.mean(axis=0)
     c, n, r = face_geometry(verts, faces)
-    del n
     F = faces.shape[0]
+    tri = verts[faces]                     # [F, 3, 3]
     c2 = (c ** 2).sum(-1)
+    s = (c * n).sum(-1)                    # c_i . n_i
+    rad = sigma * r
+    rad2 = rad ** 2
 
     irow = None
     if segm is not None and ign_table is not None:
@@ -242,29 +301,63 @@ def intersection_candidates(
     n_blk = (F + pad) // col_block
     xs = {"cj": padc(c).reshape(n_blk, col_block, 3),
           "rj": padc(r).reshape(n_blk, col_block),
+          "trij": padc(tri).reshape(n_blk, col_block, 3, 3),
+          "nj": padc(n).reshape(n_blk, col_block, 3),
+          "sj": padc(s).reshape(n_blk, col_block),
           "validj": padc(jnp.ones((F,), jnp.float32)).reshape(n_blk,
                                                               col_block),
-          "fj": padc(faces, fill=-1).reshape(n_blk, col_block, 3)}
+          "fj": padc(faces, fill=-1).reshape(n_blk, col_block, 3),
+          "off": jnp.arange(n_blk, dtype=jnp.int32) * col_block}
     if irow is not None:
         xs["segj"] = padc(segm).reshape(n_blk, col_block)
 
     BIG = jnp.asarray(1e9, jnp.float32)
 
-    def step(gap_min, inp):
+    def step(carry, inp):
+        row_min, col_min = carry
         cj, rj, validj, fj = inp["cj"], inp["rj"], inp["validj"], inp["fj"]
         hi = jax.lax.Precision.HIGHEST
         d2 = (c2[:, None] + (cj ** 2).sum(-1)[None]
               - 2.0 * jnp.matmul(c, cj.T, precision=hi))
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
         rsum = r[:, None] + rj[None, :]
-        gap = d - rsum                                       # [F, B]
-        # the energy gates on the SQUARED test (d2 < rsum^2); sqrt can
+        sgap = d - rsum                                      # [F, B]
+        # cone slack of face i's field at the 3 vertices of face j —
+        # same expanded quadratic forms as the energy
+        cone = BIG
+        fire_cone = jnp.zeros(sgap.shape, bool)
+        dmin = dmax = None
+        for a in range(3):
+            v = inp["trij"][:, a]                            # [B, 3]
+            depth = s[:, None] - jnp.matmul(n, v.T, precision=hi)
+            dmin = depth if dmin is None else jnp.minimum(dmin, depth)
+            dmax = depth if dmax is None else jnp.maximum(dmax, depth)
+            lat2 = ((v ** 2).sum(-1)[None]
+                    - 2.0 * jnp.matmul(c, v.T, precision=hi)
+                    + c2[:, None] - depth ** 2)
+            lat = jnp.sqrt(jnp.maximum(lat2, 0.0))
+            cone = jnp.minimum(
+                cone, jnp.maximum(-depth, lat - rad[:, None]))
+            fire_cone = fire_cone | ((depth > 0) & (lat2 < rad2[:, None]))
+        # reverse straddle: face i's vertices against face j's plane
+        nj, sj = inp["nj"], inp["sj"]
+        rmin = rmax = None
+        for a in range(3):
+            dr = sj[None, :] - jnp.matmul(tri[:, a], nj.T, precision=hi)
+            rmin = dr if rmin is None else jnp.minimum(rmin, dr)
+            rmax = dr if rmax is None else jnp.maximum(rmax, dr)
+        strad = jnp.maximum(jnp.maximum(dmin, -dmax),
+                            jnp.maximum(rmin, -rmax))
+        slack = jnp.maximum(jnp.maximum(sgap, cone), strad)
+        # the energy gates on the SQUARED tests; the sqrt forms above can
         # round a razor-edge pair the other way, so force any pair the
-        # energy would fire on to a strictly negative gap — margin >= 0
-        # then covers the active set exactly
-        gap = jnp.where(d2 < rsum * rsum, jnp.minimum(gap, -1e-9), gap)
+        # energy fires on to a strictly negative slack — margin >= 0 then
+        # covers the active set exactly
+        fire = ((d2 < rsum * rsum) & fire_cone
+                & (dmin < 0) & (dmax > 0) & (rmin < 0) & (rmax > 0))
+        slack = jnp.where(fire, jnp.minimum(slack, -1e-9), slack)
         invalid = validj[None, :] <= 0
-        adj = jnp.zeros(gap.shape, bool)
+        adj = jnp.zeros(slack.shape, bool)
         for p in range(3):
             for q in range(3):
                 adj = adj | (faces[:, p, None] == fj[None, :, q])
@@ -273,20 +366,26 @@ def intersection_candidates(
             onehot = jax.nn.one_hot(inp["segj"], irow.shape[1],
                                     dtype=jnp.float32)
             invalid = invalid | ((irow @ onehot.T) > 0.5)
-        gap = jnp.where(invalid, BIG, gap)
-        return jnp.minimum(gap_min, gap.min(axis=1)), None
+        slack = jnp.where(invalid, BIG, slack)
+        row_min = jnp.minimum(row_min, slack.min(axis=1))
+        # a firing pair needs BOTH endpoints in the subset: fold the
+        # block's column-side minima into the j faces' scores too
+        seg = jax.lax.dynamic_slice(col_min, (inp["off"],), (col_block,))
+        col_min = jax.lax.dynamic_update_slice(
+            col_min, jnp.minimum(seg, slack.min(axis=0)), (inp["off"],))
+        return (row_min, col_min), None
 
-    gaps, _ = jax.lax.scan(step, jnp.full((F,), BIG), xs)
+    init = (jnp.full((F,), BIG), jnp.full((F + pad,), BIG))
+    (row_min, col_min), _ = jax.lax.scan(step, init, xs)
+    score = jnp.minimum(row_min, col_min[:F])
     Keff = min(K, F)
-    _, ids = jax.lax.top_k(-gaps, Keff)
-    # n_active: faces the energy fires on RIGHT NOW (sphere overlap) —
-    # if this exceeds K the subset energy is wrong at refresh time.
-    # n_within: faces within the safety margin — exceeding K only
-    # truncates headroom for surface motion between refreshes (at SMPL-X
-    # mesh density ~1.5 cm face spacing, a 5 cm margin reaches most of
-    # the body, so n_within saturating near F is expected, not an error).
-    n_active = (gaps < 0.0).sum()
-    n_within = (gaps < margin).sum()
+    _, ids = jax.lax.top_k(-score, Keff)
+    # n_active: faces the energy draws on RIGHT NOW — if this exceeds K
+    # the subset energy is wrong at refresh time. n_within: faces within
+    # the safety margin — exceeding K only truncates headroom for surface
+    # motion between refreshes.
+    n_active = (score < 0.0).sum()
+    n_within = (score < margin).sum()
     return ids.astype(jnp.int32), jnp.stack([n_active, n_within])
 
 

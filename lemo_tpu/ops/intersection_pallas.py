@@ -9,8 +9,8 @@ blocks:
 
   - the masked cone energy  E = Σ φ²,
     φ_ia = depth_ia = s_i − n_i·v_a   on the active set
-    {sphere overlap} ∧ {not adjacent} ∧ {not part-filtered} ∧
-    {depth > 0} ∧ {lat² < rad2_i},
+    {sphere overlap} ∧ {two-way plane straddle} ∧ {not adjacent} ∧
+    {not part-filtered} ∧ {depth > 0} ∧ {lat² < rad2_i},
   - AND its gradients dE/ds, dE/dn, dE/dv (the masks are hard gates, so
     only the depth path carries gradient — exactly what jax autodiff
     produces for the XLA version). The backward pass is therefore a
@@ -60,10 +60,11 @@ def _kernel(rowtile_ref, coltile_ref, rowpack_ref, rowint_ref,
 
     rowtile [Ntr, 4] SMEM f32: tile center (3) + skip radius (1)
     coltile [Ntc, 4] SMEM f32
-    rowpack [Fp, 16] f32: c(0:3) n(3:6) s(6) rad2(7) r(8) valid(9)
+    rowpack [Fp, 24] f32: c(0:3) n(3:6) s(6) rad2(7) r(8) valid(9),
+                          own vertex a coords at 10+3a .. 12+3a
     rowint  [Fp, 8]  i32: face vertex ids (0:3), ignore bitmask (3)
     colmisc [8, Fp]  f32: c(0:3) r(3) valid(4)
-    coltri  [16, Fp] f32: vertex a coords at rows 3a..3a+2 (9 used)
+    coltri  [16, Fp] f32: vertex a coords at rows 3a..3a+2, n(9:12), s(12)
     colint  [8, Fp]  i32: face vertex ids (0:3), part id (3)
     e_ref   [1, 1]   f32 out
     rowgrad [Fp, 8]  f32 out: dn(0:3) ds(3)
@@ -126,6 +127,36 @@ def _kernel(rowtile_ref, coltile_ref, rowpack_ref, rowint_ref,
                 ign = ((jax.lax.shift_right_logical(rbits, segj) & 1) == 1)
                 m = m & ~ign & (validj > 0.0) & (validi > 0.0)
 
+                # forward depths (reused by the cone loop below) and the
+                # two-way plane-straddle gate — the tri-tri necessary
+                # condition that matches the reference BVH's semantics
+                depths = []
+                for a in range(3):
+                    va = (coltri_ref[3 * a:3 * a + 1, pl.ds(c0, CT)],
+                          coltri_ref[3 * a + 1:3 * a + 2, pl.ds(c0, CT)],
+                          coltri_ref[3 * a + 2:3 * a + 3, pl.ds(c0, CT)])
+                    depths.append(si - (ni[0] * va[0] + ni[1] * va[1]
+                                        + ni[2] * va[2]))
+                dmin = jnp.minimum(jnp.minimum(depths[0], depths[1]),
+                                   depths[2])
+                dmax = jnp.maximum(jnp.maximum(depths[0], depths[1]),
+                                   depths[2])
+                njc = (coltri_ref[9:10, pl.ds(c0, CT)],
+                       coltri_ref[10:11, pl.ds(c0, CT)],
+                       coltri_ref[11:12, pl.ds(c0, CT)])
+                sjc = coltri_ref[12:13, pl.ds(c0, CT)]
+                rmin = rmax = None
+                for a in range(3):
+                    ua = (rp[:, 10 + 3 * a:11 + 3 * a],
+                          rp[:, 11 + 3 * a:12 + 3 * a],
+                          rp[:, 12 + 3 * a:13 + 3 * a])
+                    dr = sjc - (njc[0] * ua[0] + njc[1] * ua[1]
+                                + njc[2] * ua[2])
+                    rmin = dr if rmin is None else jnp.minimum(rmin, dr)
+                    rmax = dr if rmax is None else jnp.maximum(rmax, dr)
+                m = (m & (dmin < 0.0) & (dmax > 0.0)
+                     & (rmin < 0.0) & (rmax > 0.0))
+
                 e_blk = jnp.zeros((), jnp.float32)
                 ds_t = jnp.zeros((RT, 1), jnp.float32)
                 dn_t = [jnp.zeros((RT, 1), jnp.float32) for _ in range(3)]
@@ -133,8 +164,7 @@ def _kernel(rowtile_ref, coltile_ref, rowpack_ref, rowint_ref,
                     va = (coltri_ref[3 * a:3 * a + 1, pl.ds(c0, CT)],
                           coltri_ref[3 * a + 1:3 * a + 2, pl.ds(c0, CT)],
                           coltri_ref[3 * a + 2:3 * a + 3, pl.ds(c0, CT)])
-                    ndotv = ni[0] * va[0] + ni[1] * va[1] + ni[2] * va[2]
-                    depth = si - ndotv
+                    depth = depths[a]
                     lx = va[0] - ci[0]
                     ly = va[1] - ci[1]
                     lz = va[2] - ci[2]
@@ -193,7 +223,8 @@ def _cone_energy_call(s, n, tri, c, r, rad2, fid, bits, seg, valid):
 
     rowpack = jnp.concatenate(
         [c, n, s[:, None], rad2[:, None], r[:, None], valid[:, None],
-         jnp.zeros((F, 6), jnp.float32)], axis=1)            # [F, 16]
+         tri.reshape(F, 9), jnp.zeros((F, 5), jnp.float32)],
+        axis=1)                                              # [F, 24]
     rowpack = _pad(rowpack, Fp)
     rowint = jnp.concatenate(
         [fid, bits[:, None].astype(jnp.int32),
@@ -206,7 +237,8 @@ def _cone_energy_call(s, n, tri, c, r, rad2, fid, bits, seg, valid):
          jnp.zeros((3, F), jnp.float32)], axis=0), Fp, axis=1)  # [8, Fp]
     tri_rows = tri.reshape(F, 9).T                            # [9, F]
     coltri = _pad(jnp.concatenate(
-        [tri_rows, jnp.zeros((7, F), jnp.float32)], axis=0), Fp, axis=1)
+        [tri_rows, n.T, s[None],
+         jnp.zeros((3, F), jnp.float32)], axis=0), Fp, axis=1)
     colint = _pad(jnp.concatenate(
         [fid.T, seg[None].astype(jnp.int32),
          jnp.zeros((4, F), jnp.int32)], axis=0), Fp, axis=1, fill=-2)
@@ -237,6 +269,11 @@ def _cone_energy_call(s, n, tri, c, r, rad2, fid, bits, seg, valid):
         out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
                    jax.ShapeDtypeStruct((Fp, 8), jnp.float32),
                    jax.ShapeDtypeStruct((16, Fp), jnp.float32)),
+        # the [Fp, 24] / [Fp, 8] row-major operands lane-pad to 128 in
+        # VMEM (~10 MB each at PROX scale) — the default 16 MB scoped
+        # limit is shape-dependent-OOM territory; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),

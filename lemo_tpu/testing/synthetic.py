@@ -84,6 +84,73 @@ def _synthetic_joints(num_joints: int, rng: np.random.RandomState) -> np.ndarray
     return J
 
 
+def _tube_surface(num_verts: int, J: np.ndarray, parent: np.ndarray,
+                  rng: np.random.RandomState):
+    """Smooth articulated surface: one open tapered tube of quads (split
+    into triangles, outward normals) per kinematic bone.
+
+    Unlike the default random-triangle soup — whose faces interpenetrate
+    everywhere, so *every* face fires a self-intersection energy — this is
+    a genuine surface: non-adjacent faces only collide where two body
+    parts actually come close, the regime the temporal-coherence broad
+    phase (ops/intersection.intersection_candidates) and any realistic
+    visibility/Chamfer test live in. Returns (v_template [num_verts, 3],
+    faces [F, 3] int64); up to n_seg-1 leftover vertices are parked near
+    joints, unreferenced by faces.
+    """
+    n_seg = 8
+    bones = [(j, int(parent[j])) for j in range(1, len(J))
+             if np.linalg.norm(J[j] - J[int(parent[j])]) > 1e-6]
+    lens = np.array([np.linalg.norm(J[j] - J[p]) for j, p in bones])
+    budget = num_verts // n_seg          # total rings available
+    if budget < 2 * len(bones):          # tiny test meshes: longest bones
+        keep = np.argsort(-lens)[: max(1, budget // 2)]
+        bones = [bones[i] for i in keep]
+        lens = lens[keep]
+    share = np.maximum(lens, 0.02)
+    rings = np.maximum(2, np.floor(share / share.sum() * budget).astype(int))
+    while rings.sum() > budget:
+        rings[int(np.argmax(rings))] -= 1
+    order = np.argsort(-lens)
+    i = 0
+    while rings.sum() < budget:
+        rings[order[i % len(bones)]] += 1
+        i += 1
+
+    th = np.arange(n_seg) * (2.0 * np.pi / n_seg)
+    verts, faces, off = [], [], 0
+    for (j, p), n_r, L in zip(bones, rings, lens):
+        a, b = J[p], J[j]
+        axis = (b - a) / L
+        tmp = (np.array([1.0, 0.0, 0.0]) if abs(axis[0]) < 0.9
+               else np.array([0.0, 1.0, 0.0]))
+        u = np.cross(axis, tmp)
+        u /= np.linalg.norm(u)
+        w = np.cross(axis, u)
+        rb = float(np.clip(0.25 * L, 0.009, 0.05))
+        t = np.linspace(0.06, 0.94, n_r)
+        prof = rb * (0.18 + 0.82 * np.sin(np.pi * t) ** 0.8)  # taper ends
+        radial = np.cos(th)[:, None] * u[None] + np.sin(th)[:, None] * w[None]
+        centers = a[None] + t[:, None] * (b - a)[None]
+        pts = centers[:, None, :] + prof[:, None, None] * radial[None]
+        verts.append(pts.reshape(-1, 3))
+        ir = np.arange(n_r - 1)[:, None]
+        k = np.arange(n_seg)[None, :]
+        a0 = off + ir * n_seg + k
+        a1 = off + ir * n_seg + (k + 1) % n_seg
+        b0, b1 = a0 + n_seg, a1 + n_seg
+        quads = np.stack([np.stack([a0, a1, b0], -1),
+                          np.stack([b0, a1, b1], -1)], axis=2)
+        faces.append(quads.reshape(-1, 3))
+        off += n_r * n_seg
+    v = np.concatenate(verts)
+    rem = num_verts - v.shape[0]
+    if rem > 0:
+        extra = J[rng.randint(0, len(J), rem)] + rng.randn(rem, 3) * 0.01
+        v = np.concatenate([v, extra])
+    return v, np.concatenate(faces).astype(np.int64)
+
+
 def synthetic_smplx_npz(
     num_verts: int = 536,
     num_joints: int = 55,
@@ -91,12 +158,18 @@ def synthetic_smplx_npz(
     seed: int = 0,
     gender: str = "neutral",
     full_size: bool = False,
+    smooth_surface: bool = False,
 ) -> dict:
     """Build a dict with the exact key layout of an official SMPL-X npz.
 
     `full_size=True` gives the production 10475-vertex / 400-dir layout for
     benchmarking; the default is small for fast tests. Vertices are sampled
     around bones so LBS weights / markers behave plausibly.
+
+    `smooth_surface=True` replaces the random-triangle topology with per-
+    bone tapered tubes (see `_tube_surface`) — a real surface whose faces
+    only interpenetrate where body parts actually meet, required for any
+    meaningful self-intersection / broad-phase benchmark.
 
     `num_joints` also selects the model family the way the loaders infer
     it from the posedirs width (body_model.py:68-69): 55 -> smplx,
@@ -114,10 +187,15 @@ def synthetic_smplx_npz(
     else:
         parent = SMPLX_PARENTS[:num_joints].copy()
     parent[0] = 0
-    bone_of_vert = rng.randint(0, num_joints, size=num_verts)
-    alpha = rng.rand(num_verts, 1)
-    seg_a, seg_b = J[bone_of_vert], J[parent[bone_of_vert]]
-    v_template = seg_a * alpha + seg_b * (1 - alpha) + rng.randn(num_verts, 3) * 0.03
+    f_override = None
+    if smooth_surface:
+        v_template, f_override = _tube_surface(num_verts, J, parent, rng)
+    else:
+        bone_of_vert = rng.randint(0, num_joints, size=num_verts)
+        alpha = rng.rand(num_verts, 1)
+        seg_a, seg_b = J[bone_of_vert], J[parent[bone_of_vert]]
+        v_template = (seg_a * alpha + seg_b * (1 - alpha)
+                      + rng.randn(num_verts, 3) * 0.03)
 
     # LBS weights: softmax over distance to the 4 nearest joints
     d = np.linalg.norm(v_template[:, None, :] - J[None, :, :], axis=-1)  # [V, J]
@@ -140,11 +218,20 @@ def synthetic_smplx_npz(
 
     shapedirs = rng.randn(num_verts, 3, num_shape) * 0.01
     n_pose_basis = 9 * (num_joints - 1)
-    posedirs = rng.randn(num_verts, 3, n_pose_basis) * 0.001
+    # white-noise posedirs wrinkle the surface ~7 mm at typical poses —
+    # fine for parity tests, but on the smooth surface that would make
+    # neighbouring faces graze/straddle everywhere (real SMPL-X pose
+    # correctives are spatially smooth); keep them 10x smaller there
+    posedirs = rng.randn(num_verts, 3, n_pose_basis) * (
+        0.0001 if smooth_surface else 0.001)
 
-    # faces: random triangles over nearby vertices (topology unused by LBS)
-    nfaces = max(2 * num_verts - 4, 4)
-    f = rng.randint(0, num_verts, size=(nfaces, 3)).astype(np.int64)
+    if f_override is not None:
+        f = f_override
+    else:
+        # faces: random triangles over nearby verts (topology unused by LBS)
+        nfaces = max(2 * num_verts - 4, 4)
+        f = rng.randint(0, num_verts, size=(nfaces, 3)).astype(np.int64)
+    nfaces = f.shape[0]
 
     parents_tab = (SMPL_PARENTS[:num_joints] if num_joints <= 24
                    else SMPLX_PARENTS[:num_joints])

@@ -86,8 +86,15 @@ def write_synthetic_prox_recording(
     seed: int = 0,
     occlusion_frac: float = 0.15,
     write_depth: bool = True,
+    pose_scale: float = 1.0,
 ) -> dict:
-    """Create the recording; returns ground-truth info for evaluation."""
+    """Create the recording; returns ground-truth info for evaluation.
+
+    pose_scale < 1 tames the body pose: the synthetic VPoser has random
+    decoder weights, so unit-scale latents decode to crumpled bodies with
+    thousands of self-intersecting faces — fine for most pipelines, but a
+    self-interpenetration benchmark wants the realistic mild-contact
+    regime (~0.35 gives joint rotations a real fit sees)."""
     import cv2
 
     from lemo_tpu.body_model import load_model, make_forward_fn
@@ -160,6 +167,8 @@ def write_synthetic_prox_recording(
     gt = model.zero_params(T)
     z = rng.randn(1, 32) * 0.3 + rng.randn(T, 32) * 0.05
     body_pose = vp.decode(vposer_params, jnp.asarray(z, jnp.float32), "aa")
+    if pose_scale != 1.0:
+        body_pose = body_pose * pose_scale
     gt["body_pose"] = body_pose
     # slow drift in front of the camera, ~2.5 m away
     tx = 0.3 * np.sin(np.linspace(0, 2, T))

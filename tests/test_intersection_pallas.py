@@ -67,6 +67,11 @@ def _oracle(s, n, tri, c, r, rad2, faces, bits=None, seg=None):
         ign = ((np.asarray(bits)[:, None] >> np.asarray(seg)[None, :])
                & 1) == 1
         m &= ~ign
+    # two-way plane-straddle gate (tri-tri necessary condition)
+    dall = np.stack([s[:, None] - n @ tri[:, a].T for a in range(3)])
+    rall = np.stack([s[None, :] - tri[:, a] @ n.T for a in range(3)])
+    m &= ((dall.min(0) < 0) & (dall.max(0) > 0)
+          & (rall.min(0) < 0) & (rall.max(0) > 0))
     E = 0.0
     ds = np.zeros(F)
     dn = np.zeros((F, 3))
@@ -173,7 +178,12 @@ class TestIntersectionPallas:
         faces2 = jnp.concatenate([faces, faces + verts.shape[0]])
         e_pair = float(self_intersection_loss_pallas(far, faces2))
         e_self = 2.0 * float(self_intersection_loss_pallas(verts, faces))
-        assert abs(e_pair - e_self) / max(e_self, 1e-9) < GATE_RTOL
+        # 1e-3 not GATE_RTOL: the pair's recentering puts both copies at
+        # |c| ~ 25 m, and a straddle-gate flip (boundary at depth = 0)
+        # toggles a whole pair's phi^2 — a finite jump, unlike cone-entry
+        # flips where phi ~ 0. The random-soup test mesh is dense with
+        # razor-edge pairs, so a handful of flips is expected.
+        assert abs(e_pair - e_self) / max(e_self, 1e-9) < 1e-3
 
     def test_batched_matches_dense(self):
         # reference runs per-frame (NOT vmapped: batched-matmul rounding

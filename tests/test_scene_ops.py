@@ -122,13 +122,17 @@ class TestVisibility:
 
 class TestSelfIntersection:
     def _two_tris(self, gap):
-        # two parallel triangles facing each other at distance `gap`
-        # (negative gap = interpenetrating)
+        # tri A in the z = 0 plane; tri B with its first vertex at z = gap
+        # and the others at z = |gap|: gap < 0 makes B pierce A's plane
+        # inside A's cone (a genuinely CROSSING pair — the energy's
+        # two-way plane-straddle gate, like the reference's BVH tri-tri
+        # test, ignores parallel face-to-face pairs that never intersect),
+        # gap > 0 lifts B entirely above (separated, zero energy)
         v = np.array([
             [0, 0, 0], [1, 0, 0], [0, 1, 0],          # tri A, normal +z
-            [0.1, 0.1, gap], [0.1 + 1, 0.1, gap], [0.1, 1.1, gap],
+            [0.1, 0.1, gap], [1.1, 0.1, abs(gap)], [0.1, 1.1, abs(gap)],
         ], np.float32)
-        f = np.array([[0, 1, 2], [3, 5, 4]], np.int32)  # B flipped: normal -z
+        f = np.array([[0, 1, 2], [3, 5, 4]], np.int32)
         return jnp.asarray(v), jnp.asarray(f)
 
     def test_separated_faces_no_energy(self):
