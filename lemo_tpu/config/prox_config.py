@@ -222,12 +222,28 @@ class ProxConfig:
     # the device mesh (new capability — the reference is single-GPU
     # sequential; see window.make_batched_window_fitter for semantics)
     window_parallel: bool = False
-    # after the parallel fit, re-fit each window sequentially for this
-    # many iterations with its overlap head re-warm-started from the
+    # after the parallel fit, re-fit windows for this many extra
+    # iterations with each window's overlap head re-warm-started from the
     # PREVIOUS window's fresh solution — restores the reference's
     # sequential stitching semantics (fitting_temp_slide.py:283-289).
     # 0 disables the polish pass.
     window_polish_iters: int = 100
+    # polish scheduling: 'jacobi' (default) runs window_polish_rounds
+    # Jacobi rounds of the BATCHED fitter (all windows concurrently,
+    # heads re-injected between rounds) — the whole polish stays one
+    # device program that shards over the mesh; 'sequential' is the
+    # Gauss-Seidel chain (window w re-fit after w-1, exactly the
+    # reference's window order) — unshardable, kept for parity checks.
+    window_polish_mode: str = "jacobi"
+    window_polish_rounds: int = 3
+    # grow coll_candidates automatically when the warm-start pre-pass
+    # finds more FIRING faces than K (rounded up to a tile multiple), so
+    # the subset energy is exact at refresh time at shipped settings
+    coll_candidates_auto: bool = True
+    # rebuild the sdf/coll/depth candidate sets from each stage's warm
+    # start in multi-stage fits (stage>0 would otherwise reuse stage-0
+    # candidates computed from a now-stale warm start)
+    candidates_refresh_stages: bool = True
     # overlap host-side loading of window i+1 (cv2 depth reads + scan
     # unprojection) with the device fit of window i; warm-start pkls are
     # still read only after the previous window saved (resume semantics)

@@ -260,45 +260,80 @@ def _warm_start_vertices(cfg: ProxConfig, assets: ProxAssets,
     return make_forward_fn(model)(params, model.consts)["vertices"]
 
 
-def _coll_candidate_ids(cfg: ProxConfig, assets: ProxAssets,
-                        warm: dict) -> np.ndarray:
-    """[T, K] face ids for the temporal-coherence self-intersection broad
-    phase (cfg.coll_candidates): per frame, the K warm-start faces
-    nearest to a valid collision partner. One O(F^2) forward-only sweep
-    per window amortizes the reference's per-step BVH rebuild
-    (fit_temp_loadprox_slide.py:319-344)."""
-    from lemo_tpu.ops.intersection import intersection_candidates_batched
+def _coll_candidate_scores(cfg: ProxConfig, assets: ProxAssets,
+                           warm: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame face slack scores [T, F] + (n_active, n_within) counts
+    [T, 2] for the self-intersection broad phase (one O(F^2) forward-only
+    sweep on warm-start geometry; ops.intersection docstring)."""
+    from lemo_tpu.ops.intersection import \
+        intersection_candidate_scores_batched
 
     verts = _warm_start_vertices(cfg, assets, warm)
     segm = (jnp.asarray(assets.faces_segm)
             if assets.faces_segm is not None else None)
     tab = (jnp.asarray(assets.ign_table)
            if assets.ign_table is not None else None)
-    K = min(int(cfg.coll_candidates), assets.model.faces.shape[0])
-    ids, counts = intersection_candidates_batched(
-        verts, jnp.asarray(assets.model.faces), K=K,
+    scores, counts = intersection_candidate_scores_batched(
+        verts, jnp.asarray(assets.model.faces),
         margin=float(cfg.coll_candidates_margin), segm=segm, ign_table=tab)
-    counts = np.asarray(counts)
-    n_active, n_within = int(counts[:, 0].max()), int(counts[:, 1].max())
+    return np.asarray(scores), np.asarray(counts)
+
+
+def _coll_pick_K(cfg: ProxConfig, n_active: int, n_within: int,
+                 F: int) -> int:
+    """Candidate-set size from the configured K and the warm-start live
+    count. With cfg.coll_candidates_auto (default), K grows to cover
+    every face on a FIRING pair — rounded up to a 1024 multiple to bound
+    shape churn (each distinct K is one retrace of the window program) —
+    so the subset energy is exact at refresh time at any shipped K."""
+    import warnings
+
+    K = min(int(cfg.coll_candidates), F)
     if n_active > K:
-        import warnings
-        warnings.warn(
-            f"coll_candidates={K} < {n_active} faces on FIRING energy "
-            "pairs at warm start — the subset energy is already "
-            "missing penetrations at refresh time; raise coll_candidates")
+        if getattr(cfg, "coll_candidates_auto", False):
+            K = min(F, -(-n_active // 1024) * 1024)
+            print(f"[lemo_tpu] coll_candidates auto-grown to {K} "
+                  f"({n_active} faces on firing pairs at warm start > "
+                  f"configured {cfg.coll_candidates})")
+        else:
+            warnings.warn(
+                f"coll_candidates={K} < {n_active} faces on FIRING energy "
+                "pairs at warm start — the subset energy is already "
+                "missing penetrations at refresh time; raise "
+                "coll_candidates or set coll_candidates_auto")
     elif n_within > K:
-        import warnings
         warnings.warn(
             f"coll_candidates={K} < {n_within} faces within "
             f"{cfg.coll_candidates_margin} m of a collision partner at "
             f"warm start ({n_active} live): the margin headroom is "
             "truncated — fine for small per-window motion, raise "
             "coll_candidates or lower coll_candidates_margin otherwise")
-    # top_k returns ids in score order — spatially scattered, which
-    # defeats the Pallas subset kernel's tile-sphere block skipping.
-    # Face-id order restores the mesh's spatial coherence; the subset
-    # energy is order-invariant.
-    return np.sort(np.asarray(ids), axis=-1)
+    return K
+
+
+def _coll_ids_from_scores(scores: np.ndarray, K: int) -> np.ndarray:
+    """[T, F] slack scores -> [T, K] face ids (K smallest slacks).
+
+    argsort order is score order — spatially scattered, which defeats
+    the Pallas subset kernel's tile-sphere block skipping. Face-id order
+    restores the mesh's spatial coherence; the subset energy is
+    order-invariant."""
+    ids = np.argsort(scores, axis=1)[:, :K].astype(np.int32)
+    return np.sort(ids, axis=-1)
+
+
+def _coll_candidate_ids(cfg: ProxConfig, assets: ProxAssets,
+                        warm: dict) -> np.ndarray:
+    """[T, K] face ids for the temporal-coherence self-intersection broad
+    phase (cfg.coll_candidates): per frame, the K warm-start faces
+    nearest to a valid collision partner. One O(F^2) forward-only sweep
+    per window amortizes the reference's per-step BVH rebuild
+    (fit_temp_loadprox_slide.py:319-344). K auto-grows to cover the
+    firing set when cfg.coll_candidates_auto (default)."""
+    scores, counts = _coll_candidate_scores(cfg, assets, warm)
+    K = _coll_pick_K(cfg, int(counts[:, 0].max()), int(counts[:, 1].max()),
+                     assets.model.faces.shape[0])
+    return _coll_ids_from_scores(scores, K)
 
 
 def _gmof_np(d: np.ndarray, rho: float) -> np.ndarray:
@@ -358,11 +393,17 @@ def _depth_candidate_data(cfg: ProxConfig, assets: ProxAssets, warm: dict,
     # contribute 0 through their validity mask)
     sids = np.argsort(np.where(sm, ds, np.inf), axis=1)[:, :Ks] \
         .astype(np.int32)
-    vids = np.argsort(dv, axis=1)[:, :Kv].astype(np.int32)
+    # vertex relevance: with s2m on, EVERY vertex near the scan is a
+    # prospective NN target; with m2s only, vertices statically excluded
+    # by body_mask can never contribute — drop them from the ranking and
+    # the margin warning (they'd otherwise crowd out real candidates and
+    # fire the warning spuriously)
+    dv_rank = dv if cfg.s2m else np.where(bm[None, :], dv, np.inf)
+    vids = np.argsort(dv_rank, axis=1)[:, :Kv].astype(np.int32)
 
     margin = float(cfg.depth_candidates_margin)
     n_s = int((np.where(sm, ds, np.inf) < margin).sum(axis=1).max())
-    n_v = int((dv < margin).sum(axis=1).max())
+    n_v = int((dv_rank < margin).sum(axis=1).max())
     if n_s > Ks or n_v > Kv:
         warnings.warn(
             f"depth_candidates={cfg.depth_candidates} < {max(n_s, n_v)} "
@@ -405,6 +446,65 @@ def _depth_candidate_data(cfg: ProxConfig, assets: ProxAssets, warm: dict,
     return sids, vids, s2m_frozen, m2s_frozen
 
 
+def _candidate_updates(cfg: ProxConfig, assets: ProxAssets, warm: dict,
+                       st: ProxStatic, with_coll: bool = True) -> dict:
+    """Recompute the candidate-dependent ProxStatic fields from a warm
+    start. Shared by the initial window build and the stage-boundary
+    refresh (cfg.candidates_refresh_stages) — multi-stage fits would
+    otherwise hold stage-0 candidate sets through every stage.
+
+    with_coll=False skips the self-intersection set (the window-parallel
+    driver computes it separately so K can be harmonized across windows,
+    :func:`_apply_candidates_batch`)."""
+    upd: dict = {}
+    if (cfg.sdf_penetration and st.sdf is not None
+            and getattr(cfg, "sdf_candidates", 0) > 0):
+        ids = _sdf_candidate_ids(cfg, assets, warm, st.R, st.t, st.sdf,
+                                 st.grid_min, st.grid_max)
+        upd["sdf_candidate_ids"] = jnp.asarray(ids)
+    if (with_coll and cfg.interpenetration
+            and getattr(cfg, "coll_candidates", 0) > 0):
+        upd["coll_candidate_ids"] = jnp.asarray(
+            _coll_candidate_ids(cfg, assets, warm))
+    if ((cfg.s2m or cfg.m2s) and st.scan is not None
+            and getattr(cfg, "depth_candidates", 0) > 0):
+        sids, vids, s2m_fr, m2s_fr = _depth_candidate_data(
+            cfg, assets, warm, st)
+        upd.update(depth_scan_cand_ids=jnp.asarray(sids),
+                   depth_vert_cand_ids=jnp.asarray(vids),
+                   s2m_frozen=jnp.asarray(s2m_fr),
+                   m2s_frozen=jnp.asarray(m2s_fr))
+    return upd
+
+
+def _apply_candidates_batch(cfg: ProxConfig, assets: ProxAssets,
+                            warms: list, statics: list) -> list:
+    """Candidate sets for a batch of windows with ONE self-intersection
+    K (the auto rule sized from the max live count over ALL windows), so
+    the per-window [T, K] sets stack into the window-parallel batch."""
+    need_coll = (cfg.interpenetration
+                 and getattr(cfg, "coll_candidates", 0) > 0)
+    coll_ids = None
+    if need_coll:
+        scores_all, n_active, n_within = [], 0, 0
+        for warm in warms:
+            s, c = _coll_candidate_scores(cfg, assets, warm)
+            scores_all.append(s)
+            n_active = max(n_active, int(c[:, 0].max()))
+            n_within = max(n_within, int(c[:, 1].max()))
+        K = _coll_pick_K(cfg, n_active, n_within,
+                         assets.model.faces.shape[0])
+        coll_ids = [jnp.asarray(_coll_ids_from_scores(s, K))
+                    for s in scores_all]
+    out = []
+    for i, (warm, st) in enumerate(zip(warms, statics)):
+        upd = _candidate_updates(cfg, assets, warm, st, with_coll=False)
+        if need_coll:
+            upd["coll_candidate_ids"] = coll_ids[i]
+        out.append(dataclasses.replace(st, **upd) if upd else st)
+    return out
+
+
 def stage_joint_weights(cfg: ProxConfig, joint_weights: np.ndarray,
                         stage: int = 0) -> np.ndarray:
     """Per-stage hand/face keypoint weights (the reference re-assigns
@@ -427,7 +527,8 @@ def stage_joint_weights(cfg: ProxConfig, joint_weights: np.ndarray,
 def build_window_static(cfg: ProxConfig, assets: ProxAssets,
                         rec: ProxRecording, window_data: dict,
                         joint_weights: np.ndarray,
-                        infill_result=None, stage: int = 0) -> ProxStatic:
+                        infill_result=None, stage: int = 0,
+                        with_candidates: bool = True) -> ProxStatic:
     model = assets.model
     V = model.num_verts
     camera = PerspectiveCamera(cfg.focal_length_x, cfg.focal_length_y,
@@ -478,22 +579,10 @@ def build_window_static(cfg: ProxConfig, assets: ProxAssets,
                    if cfg.interpenetration and assets.ign_table is not None
                    else None),
     )
-    if (cfg.sdf_penetration and sdf is not None
-            and getattr(cfg, "sdf_candidates", 0) > 0):
-        ids = _sdf_candidate_ids(cfg, assets, window_data["warm_start"],
-                                 R, t, sdf, grid_min, grid_max)
-        st = dataclasses.replace(st, sdf_candidate_ids=jnp.asarray(ids))
-    if cfg.interpenetration and getattr(cfg, "coll_candidates", 0) > 0:
-        cids = _coll_candidate_ids(cfg, assets, window_data["warm_start"])
-        st = dataclasses.replace(st, coll_candidate_ids=jnp.asarray(cids))
-    if ((cfg.s2m or cfg.m2s) and st.scan is not None
-            and getattr(cfg, "depth_candidates", 0) > 0):
-        sids, vids, s2m_fr, m2s_fr = _depth_candidate_data(
-            cfg, assets, window_data["warm_start"], st)
-        st = dataclasses.replace(
-            st, depth_scan_cand_ids=jnp.asarray(sids),
-            depth_vert_cand_ids=jnp.asarray(vids),
-            s2m_frozen=jnp.asarray(s2m_fr), m2s_frozen=jnp.asarray(m2s_fr))
+    if with_candidates:
+        upd = _candidate_updates(cfg, assets, window_data["warm_start"], st)
+        if upd:
+            st = dataclasses.replace(st, **upd)
     if infill_result is not None:
         st = dataclasses.replace(
             st, infill_targets=infill_result.targets_world,
@@ -610,6 +699,14 @@ def _make_window_extras_saver(cfg, assets, rec, output_folder):
     return save
 
 
+# wall-clock split of the most recent _run_window_parallel call:
+# load/prepass/static_build/fit/refresh/polish/save seconds, plus the
+# shardable (mesh-sharded device programs) vs unshardable (host) split
+# that multi-chip projections must Amdahl over. Read by the perf
+# harnesses (scripts/ab_window_parallel_tpu.py).
+LAST_PARALLEL_TIMINGS: dict = {}
+
+
 def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                          result_folder, n_windows, verbose,
                          save_extras=None):
@@ -627,6 +724,7 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     from lemo_tpu.parallel import make_mesh
 
     t0 = time.time()
+    tsec = time.time()
     # all warm starts come from the previous stage's pkls here (no
     # sequential dependence), so whole windows load concurrently —
     # cv2/numpy release the GIL for the expensive parts
@@ -634,6 +732,8 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
 
     with ThreadPoolExecutor(max_workers=8) as ex:
         window_data = list(ex.map(ds.load_window, range(n_windows)))
+    timings = {"load_s": time.time() - tsec}
+    tsec = time.time()
     # S3: the infill pre-pass runs from the warm starts (the parallel
     # path has no sequential dependence — all warm starts come from the
     # previous stage's pkls), batched over the window axis: one vmapped
@@ -657,29 +757,54 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                 targets_world=tw[i], contact_lbl=cl[i],
                 had_occlusion=bool(masks[i].size > masks[i].sum()))
             for i in range(n_windows)]
-    statics = [build_window_static(cfg, assets, rec, wd, jw, ir)
+    timings["prepass_s"] = time.time() - tsec
+    tsec = time.time()
+    # candidate sets are applied separately (_apply_candidates_batch)
+    # so the self-intersection auto-K is harmonized across windows
+    statics = [build_window_static(cfg, assets, rec, wd, jw, ir,
+                                   with_candidates=False)
                for wd, ir in zip(window_data, infill_results)]
+    statics = _apply_candidates_batch(
+        cfg, assets, [wd["warm_start"] for wd in window_data], statics)
     from lemo_tpu.fitting.prox.losses import PER_WINDOW_FIELDS as _PER_WINDOW
-    batch_kw = {}
-    for f in _dc.fields(statics[0].__class__):
-        vals = [getattr(s, f.name) for s in statics]
-        if f.name in _PER_WINDOW and vals[0] is not None:
-            batch_kw[f.name] = jnp.stack(vals)
-        else:
-            batch_kw[f.name] = vals[0]
-    static_batch = statics[0].__class__(**batch_kw)
+
+    def stack_statics(st_list):
+        batch_kw = {}
+        for f in _dc.fields(st_list[0].__class__):
+            vals = [getattr(s, f.name) for s in st_list]
+            if f.name in _PER_WINDOW and vals[0] is not None:
+                batch_kw[f.name] = jnp.stack(vals)
+            else:
+                batch_kw[f.name] = vals[0]
+        return st_list[0].__class__(**batch_kw)
+
+    static_batch = stack_statics(statics)
 
     warm = {k: jnp.stack([jnp.asarray(wd["warm_start"][k])
                           for wd in window_data])
             for k in window_data[0]["warm_start"]}
     first_mask = jnp.asarray([i == 0 for i in range(n_windows)])
+    timings["static_build_s"] = time.time() - tsec
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     priors = build_priors(cfg)
     n_stages = cfg.n_stages
+    timings["fit_s"] = timings["refresh_s"] = 0.0
     losses_stages, terms_stages = [], []
+    fitter = static_batch_s = None
     for stage in range(n_stages):
         w_s = weights_from_config(cfg, stage)
+        if stage > 0 and getattr(cfg, "candidates_refresh_stages", True):
+            # rebuild sdf/coll/depth candidate sets from THIS stage's
+            # warm start (the previous stage's solution) — stage 0's
+            # sets were computed from a now-stale geometry
+            tsec = time.time()
+            warm_np = {k: np.asarray(v) for k, v in warm.items()}
+            warms_s = [{k: v[widx] for k, v in warm_np.items()}
+                       for widx in range(n_windows)]
+            statics = _apply_candidates_batch(cfg, assets, warms_s, statics)
+            static_batch = stack_statics(statics)
+            timings["refresh_s"] += time.time() - tsec
         static_batch_s = _dc.replace(
             static_batch, joint_weights=jnp.asarray(
                 stage_joint_weights(cfg, jw, stage)))
@@ -689,8 +814,10 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
             steps_per_dispatch=cfg.steps_per_dispatch,
             priors=priors, use_vposer=cfg.use_vposer,
             optim_type=cfg.optim_type)
+        tsec = time.time()
         opt_vars, betas, losses, batch_terms = fitter(
             static_batch_s, warm, first_mask)
+        timings["fit_s"] += time.time() - tsec
         losses_stages.append(np.asarray(losses))
         terms_stages.append(batch_terms)
         if stage + 1 < n_stages:
@@ -704,25 +831,79 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     loss_hists = [np.asarray(losses[widx]) for widx in range(n_windows)]
     # per-window terms record: each stage contributes its final-solution
     # terms, concatenated across stages (mirroring the sequential driver's
-    # per-stage term-history concatenation); windows re-fit by the polish
-    # pass below overwrite theirs with the polish fitter's last-step terms
+    # per-stage term-history concatenation); the polish pass appends its
+    # own records below (per round for jacobi, per step for sequential)
     term_hists = [
         {k: np.concatenate([ts[k][widx:widx + 1] for ts in terms_stages])
          for k in terms_stages[0]}
         for widx in range(n_windows)]
 
-    # Sequential-polish pass: the parallel fit's overlap-frozen head
-    # frames kept their warm-start values, not the previous window's
-    # fresh solution. Re-fit each window (in order) for a short run with
-    # its head re-warm-started from the previous window's polished
-    # solution — restoring the reference's sequential stitching semantics
-    # (fitting_temp_slide.py:283-289 + data_parser_slide.py:325-333
-    # own-output-first warm start).
+    # Polish pass: the parallel fit's overlap-frozen head frames kept
+    # their warm-start values, not the previous window's fresh solution.
+    # Re-fit with each window's head re-warm-started from the previous
+    # window's solution — restoring the reference's sequential stitching
+    # semantics (fitting_temp_slide.py:283-289 + data_parser_slide.py
+    # :325-333 own-output-first warm start).
     polish = int(getattr(cfg, "window_polish_iters", 0) or 0)
-    if polish > 0 and n_windows > 1:
+    polish_mode = getattr(cfg, "window_polish_mode", "jacobi")
+    spans = ds.windows
+    T = int(statics[0].gt_joints.shape[0])
+    erase_head = int(T * 0.15)
+    tsec = time.time()
+    if polish > 0 and n_windows > 1 and polish_mode == "jacobi":
+        # Jacobi schedule: rounds of the BATCHED fitter with heads
+        # re-injected between rounds — the whole polish remains one
+        # device program sharded over the mesh (the Gauss-Seidel chain
+        # below is inherently sequential). Window 0 is fully frozen
+        # (erase = T), matching the sequential polish which never
+        # re-fits it; each round propagates stitching one window
+        # downstream, and windows barely move during polish, so 2-3
+        # rounds recover the sequential semantics (tested).
+        rounds = max(1, int(getattr(cfg, "window_polish_rounds", 3)))
+        iters_per_round = max(1, polish // rounds)
+        erase = np.full((n_windows,), erase_head, np.int32)
+        erase[0] = T
+        # np.array (copy): jax arrays view as read-only through asarray,
+        # and the head injection writes in place
+        cur = {k: np.array(v) for k, v in opt_vars.items()}
+
+        def inject_heads(arrs, n_inject_of):
+            for widx in range(1, n_windows):
+                s_prev, e_prev = spans[widx - 1]
+                s_cur, _ = spans[widx]
+                ov_n = max(e_prev - s_cur, 0)
+                n_inj = n_inject_of(ov_n)
+                if n_inj > 0:
+                    off = s_cur - s_prev
+                    for k in arrs:
+                        arrs[k][widx, :n_inj] = \
+                            arrs[k][widx - 1, off:off + n_inj]
+
+        for _ in range(rounds):
+            inject_heads(cur, lambda ov_n: ov_n)
+            params = {k: jnp.asarray(v) for k, v in cur.items()}
+            params["betas"] = betas
+            ov2, _b, p_losses, p_terms = fitter(
+                static_batch_s, params, first_mask,
+                maxiters_override=iters_per_round, erase_override=erase)
+            cur = {k: np.array(v) for k, v in ov2.items()}
+            for widx in range(n_windows):
+                loss_hists[widx] = np.concatenate(
+                    [loss_hists[widx], np.asarray(p_losses[widx])])
+                term_hists[widx] = {
+                    k: np.concatenate([term_hists[widx][k],
+                                       np.asarray(p_terms[k][widx:widx + 1])])
+                    for k in term_hists[widx]}
+        # final head hand-off: the frozen head frames equal the previous
+        # window's FINAL tail verbatim (the sequential-polish invariant;
+        # these frames were frozen during the rounds, so this changes no
+        # optimized frame)
+        inject_heads(cur, lambda ov_n: min(ov_n, erase_head))
+        sols = [{k: jnp.asarray(v[widx]) for k, v in cur.items()}
+                for widx in range(n_windows)]
+    elif polish > 0 and n_windows > 1:
         from lemo_tpu.fitting.prox.window import make_window_fitter
 
-        spans = ds.windows
         jw_final = jnp.asarray(stage_joint_weights(cfg, jw, n_stages - 1))
         statics = [_dc.replace(s, joint_weights=jw_final) for s in statics]
         pfitter = make_window_fitter(
@@ -747,12 +928,14 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
             sols[widx] = final
             loss_hists[widx] = np.concatenate(
                 [loss_hists[widx], np.asarray(p_losses)])
-            term_hists[widx] = {k: np.asarray(v)[-1:]
-                                for k, v in p_terms.items()}
+            # append the polish pass's per-step terms to the stage
+            # records (same concatenation the sequential driver does)
+            term_hists[widx] = {
+                k: np.concatenate([term_hists[widx][k], np.asarray(v)])
+                for k, v in p_terms.items() if k in term_hists[widx]}
+    timings["polish_s"] = time.time() - tsec
 
-    # the per-term record is a length-1 history at the solution (from the
-    # fitter's final chunk eval) — enough for observability and
-    # finiteness checks without hauling [W, S, n_terms] off device
+    tsec = time.time()
     results = []
     for widx in range(n_windows):
         final = sols[widx]
@@ -783,11 +966,25 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
         if save_extras is not None:
             save_extras(window_data[widx]["fns"], result)
         results.append(result)
+    timings["save_s"] = time.time() - tsec
+    timings["total_s"] = time.time() - t0
+    timings["polish_mode"] = polish_mode if polish > 0 else "off"
+    # the batched fit and (jacobi) polish are mesh-sharded device
+    # programs; everything else is host work that does NOT shard —
+    # multi-chip projections must use this split (Amdahl), never total/N
+    timings["shardable_s"] = timings["fit_s"] + (
+        timings["polish_s"] if timings["polish_mode"] == "jacobi" else 0.0)
+    timings["unshardable_s"] = timings["total_s"] - timings["shardable_s"]
+    LAST_PARALLEL_TIMINGS.clear()
+    LAST_PARALLEL_TIMINGS.update(timings)
     if verbose:
         print(f"[window-parallel] {n_windows} windows on "
               f"{len(jax.devices())} device(s) in {time.time() - t0:.1f}s"
-              f"{f' (+{polish}-iter polish)' if polish else ''}; "
-              f"losses {[round(float(h[-1]), 3) for h in loss_hists]}")
+              f"{f' (+{polish}-iter {polish_mode} polish)' if polish else ''}"
+              f"; losses {[round(float(h[-1]), 3) for h in loss_hists]}; "
+              "split " + ", ".join(
+                  f"{k}={v:.1f}s" for k, v in timings.items()
+                  if k.endswith("_s")))
     return results
 
 
@@ -899,8 +1096,16 @@ def _fit_windows_sequential(cfg, assets, rec, ds, jw, mapper, weights,
         # each stage and the next stage warm-started from the previous
         # stage's solution (fit_temp_loadprox_slide.py:507-528)
         result = None
+        wd_stage = wd
         for stage in range(n_stages):
-            static = build_window_static(cfg, assets, rec, wd, jw,
+            if stage > 0 and getattr(cfg, "candidates_refresh_stages",
+                                     True):
+                # candidate sets (sdf/coll/depth) rebuilt from THIS
+                # stage's warm start instead of the original window one
+                wd_stage = dict(wd)
+                wd_stage["warm_start"] = {k: np.asarray(v)
+                                          for k, v in warm.items()}
+            static = build_window_static(cfg, assets, rec, wd_stage, jw,
                                          infill_result, stage=stage)
             if stage not in stage_fitters:
                 from lemo_tpu.fitting.prox.window import make_window_fitter

@@ -405,8 +405,15 @@ def make_batched_window_fitter(
         return jnp.concatenate(
             [x, jnp.broadcast_to(x[:1], (W_pad - W,) + x.shape[1:])])
 
-    def fit(static_batch: ProxStatic, prox_params_batch, first_mask):
+    def fit(static_batch: ProxStatic, prox_params_batch, first_mask,
+            maxiters_override: int | None = None, erase_override=None):
+        """`maxiters_override`: run that many steps instead of `maxiters`
+        (same compiled chunk program — used by the driver's Jacobi polish
+        rounds). `erase_override`: per-window frozen-head frame counts
+        [W] int (values may exceed the 15% overlap, e.g. T freezes a
+        window entirely); None derives them from `first_mask`."""
         W = first_mask.shape[0]
+        total_iters = int(maxiters_override or maxiters)
         # pad the window axis to a mesh multiple (padding repeats window 0
         # and is discarded after the fit). Only the per-window fields are
         # padded — shape-sniffing would corrupt shared fields whose first
@@ -430,7 +437,13 @@ def make_batched_window_fitter(
                      "right_hand_pose", "jaw_pose", "leye_pose",
                      "reye_pose", "expression",
                      "pose_embedding" if use_vposer else "body_pose")}
-        erase_n = jnp.where(first_mask_p, 0, int(T * overlap_frac))
+        if erase_override is not None:
+            erase_n = jnp.asarray(erase_override)
+            if W_pad > W:
+                erase_n = jnp.concatenate(
+                    [erase_n, jnp.full((W_pad - W,), T, erase_n.dtype)])
+        else:
+            erase_n = jnp.where(first_mask_p, 0, int(T * overlap_frac))
         opt_state = (opt.init(opt_vars) if impl == "fold"
                      else jax.vmap(opt.init)(opt_vars))
         if mesh is not None:
@@ -442,12 +455,15 @@ def make_batched_window_fitter(
         all_losses = []
         done = 0
         terms = None
-        while done < maxiters:
+        while done < total_iters:
             opt_vars, opt_state, losses, terms = run_chunk_v(
                 opt_vars, opt_state, betas, static_batch, erase_n)
             all_losses.append(np.asarray(losses))
             done += chunk
-        losses = np.concatenate(all_losses, axis=1)[:W, :maxiters]  # [W, S]
+        # a maxiters_override below the chunk size still runs whole
+        # chunks (the chunk program is what's compiled) — the history is
+        # reported in full rather than truncated to the requested count
+        losses = np.concatenate(all_losses, axis=1)[:W]             # [W, S]
         opt_vars = jax.tree_util.tree_map(lambda x: x[:W], opt_vars)
         final_terms = {k: np.asarray(v)[:W] for k, v in terms.items()
                        if hasattr(v, "shape")}

@@ -222,19 +222,18 @@ def self_intersection_loss(
     return total
 
 
-@partial(jax.jit, static_argnames=("K", "col_block"))
-def intersection_candidates(
+@partial(jax.jit, static_argnames=("col_block",))
+def intersection_candidate_scores(
     verts: jnp.ndarray,          # [V, 3]
     faces: jnp.ndarray,          # [F, 3] int
-    K: int = 4096,
     margin: float = 0.05,
     sigma: float = 0.5,
     segm: jnp.ndarray | None = None,
     ign_table: jnp.ndarray | None = None,
     col_block: int = 1024,
 ):
-    """Temporal-coherence broad phase: the K faces nearest to FIRING the
-    penetration energy, from STOP-GRADIENT geometry.
+    """Temporal-coherence broad phase, score form: per-face slack to
+    FIRING the penetration energy, from STOP-GRADIENT geometry.
 
     A directed pair (i cone-owner, j vertex-supplier) contributes energy
     iff ALL of (self_intersection_loss's gates): spheres overlap
@@ -265,11 +264,14 @@ def intersection_candidates(
     O(F^2) forward-only sweep per window/refresh instead of an O(F^2)
     energy+gradient sweep per optimizer step.
 
-    Returns (ids [K] int32, counts [2] int32 = (n_active, n_within)):
-    n_active faces belong to a pair that fires RIGHT NOW — n_active > K
-    means the subset energy is already wrong at refresh time; n_within
-    counts faces inside the safety margin — exceeding K only truncates
-    headroom for surface motion between refreshes.
+    Returns (score [F] f32, counts [2] int32 = (n_active, n_within)):
+    a face's score is the min slack over all directed pairs it appears
+    in (either role) — negative iff the face is on a pair that fires
+    RIGHT NOW, < margin iff within the safety margin. The K-subset form
+    (:func:`intersection_candidates`) is top-K of -score; callers that
+    need to SIZE K from the live count (the driver's coll_candidates
+    auto mode) take the scores and argsort host-side, avoiding a second
+    O(F^2) sweep.
     """
     verts = jax.lax.stop_gradient(verts)
     # identical recentering + HIGHEST-precision matmuls to
@@ -378,15 +380,56 @@ def intersection_candidates(
     init = (jnp.full((F,), BIG), jnp.full((F + pad,), BIG))
     (row_min, col_min), _ = jax.lax.scan(step, init, xs)
     score = jnp.minimum(row_min, col_min[:F])
-    Keff = min(K, F)
-    _, ids = jax.lax.top_k(-score, Keff)
-    # n_active: faces the energy draws on RIGHT NOW — if this exceeds K
-    # the subset energy is wrong at refresh time. n_within: faces within
-    # the safety margin — exceeding K only truncates headroom for surface
-    # motion between refreshes.
+    # n_active: faces the energy draws on RIGHT NOW — a candidate set
+    # smaller than this is wrong at refresh time. n_within: faces within
+    # the safety margin — a set smaller than this only truncates headroom
+    # for surface motion between refreshes.
     n_active = (score < 0.0).sum()
     n_within = (score < margin).sum()
-    return ids.astype(jnp.int32), jnp.stack([n_active, n_within])
+    return score, jnp.stack([n_active, n_within])
+
+
+@partial(jax.jit, static_argnames=("K", "col_block"))
+def intersection_candidates(
+    verts: jnp.ndarray,          # [V, 3]
+    faces: jnp.ndarray,          # [F, 3] int
+    K: int = 4096,
+    margin: float = 0.05,
+    sigma: float = 0.5,
+    segm: jnp.ndarray | None = None,
+    ign_table: jnp.ndarray | None = None,
+    col_block: int = 1024,
+):
+    """K-subset form of :func:`intersection_candidate_scores`: the K
+    faces nearest to firing (top-K of -score). Returns (ids [K] int32,
+    counts [2] int32 = (n_active, n_within))."""
+    score, counts = intersection_candidate_scores(
+        verts, faces, margin=margin, sigma=sigma, segm=segm,
+        ign_table=ign_table, col_block=col_block)
+    Keff = min(K, faces.shape[0])
+    _, ids = jax.lax.top_k(-score, Keff)
+    return ids.astype(jnp.int32), counts
+
+
+def intersection_candidate_scores_batched(verts_batch, faces,
+                                          margin: float = 0.05,
+                                          frame_chunk: int = 4, **kw):
+    """[B, V, 3] -> (scores [B, F], counts [B, 2]): per-frame face slack
+    scores (see :func:`intersection_candidate_scores`)."""
+    one = lambda v: intersection_candidate_scores(  # noqa: E731
+        v, faces, margin=margin, **kw)
+    B = verts_batch.shape[0]
+    if B <= frame_chunk:
+        return jax.vmap(one)(verts_batch)
+    pad = (-B) % frame_chunk
+    vb = jnp.concatenate(
+        [verts_batch, jnp.broadcast_to(verts_batch[:1],
+                                       (pad,) + verts_batch.shape[1:])]) \
+        if pad else verts_batch
+    chunks = vb.reshape(-1, frame_chunk, *verts_batch.shape[1:])
+    scores, counts = jax.lax.map(jax.vmap(one), chunks)
+    F = scores.shape[-1]
+    return scores.reshape(-1, F)[:B], counts.reshape(-1, 2)[:B]
 
 
 def intersection_candidates_batched(verts_batch, faces, K: int = 4096,

@@ -95,12 +95,19 @@ def _tube_surface(num_verts: int, J: np.ndarray, parent: np.ndarray,
     parts actually come close, the regime the temporal-coherence broad
     phase (ops/intersection.intersection_candidates) and any realistic
     visibility/Chamfer test live in. Returns (v_template [num_verts, 3],
-    faces [F, 3] int64); up to n_seg-1 leftover vertices are parked near
-    joints, unreferenced by faces.
+    faces [F, 3] int64, face_part [F] int64 = the joint id of each
+    face's bone tube — a part segmentation aligned with the kinematic
+    tree, the FilterFaces analog for realism experiments); up to n_seg-1
+    leftover vertices are parked near joints, unreferenced by faces.
     """
     n_seg = 8
     bones = [(j, int(parent[j])) for j in range(1, len(J))
              if np.linalg.norm(J[j] - J[int(parent[j])]) > 1e-6]
+    if not bones:
+        raise ValueError(
+            "smooth_surface needs at least one bone of nonzero length "
+            "(all joints coincide in this synthetic skeleton) — use the "
+            "default random-soup topology instead")
     lens = np.array([np.linalg.norm(J[j] - J[p]) for j, p in bones])
     budget = num_verts // n_seg          # total rings available
     if budget < 2 * len(bones):          # tiny test meshes: longest bones
@@ -118,7 +125,7 @@ def _tube_surface(num_verts: int, J: np.ndarray, parent: np.ndarray,
         i += 1
 
     th = np.arange(n_seg) * (2.0 * np.pi / n_seg)
-    verts, faces, off = [], [], 0
+    verts, faces, face_part, off = [], [], [], 0
     for (j, p), n_r, L in zip(bones, rings, lens):
         a, b = J[p], J[j]
         axis = (b - a) / L
@@ -141,14 +148,17 @@ def _tube_surface(num_verts: int, J: np.ndarray, parent: np.ndarray,
         b0, b1 = a0 + n_seg, a1 + n_seg
         quads = np.stack([np.stack([a0, a1, b0], -1),
                           np.stack([b0, a1, b1], -1)], axis=2)
-        faces.append(quads.reshape(-1, 3))
+        f_bone = quads.reshape(-1, 3)
+        faces.append(f_bone)
+        face_part.append(np.full(f_bone.shape[0], j, np.int64))
         off += n_r * n_seg
     v = np.concatenate(verts)
     rem = num_verts - v.shape[0]
     if rem > 0:
         extra = J[rng.randint(0, len(J), rem)] + rng.randn(rem, 3) * 0.01
         v = np.concatenate([v, extra])
-    return v, np.concatenate(faces).astype(np.int64)
+    return v, np.concatenate(faces).astype(np.int64), \
+        np.concatenate(face_part)
 
 
 def synthetic_smplx_npz(
@@ -187,9 +197,10 @@ def synthetic_smplx_npz(
     else:
         parent = SMPLX_PARENTS[:num_joints].copy()
     parent[0] = 0
-    f_override = None
+    f_override = face_parts = None
     if smooth_surface:
-        v_template, f_override = _tube_surface(num_verts, J, parent, rng)
+        v_template, f_override, face_parts = _tube_surface(
+            num_verts, J, parent, rng)
     else:
         bone_of_vert = rng.randint(0, num_joints, size=num_verts)
         alpha = rng.rand(num_verts, 1)
@@ -250,6 +261,13 @@ def synthetic_smplx_npz(
         "weights": weights.astype(np.float64),
         "f": f,
     }
+    if face_parts is not None:
+        # per-face part id (the face's bone tube, = a joint id): the
+        # part-segmentation realism hook for self-intersection tests —
+        # build_face_filter consumes it as faces_segm with part parents
+        # from the kinematic tree (SMPL-X's smplx_parts_segm.pkl analog).
+        # Extra key; the model loaders ignore it.
+        out["face_parts"] = face_parts
     if num_joints == 55:  # smplx extras
         hc = rng.randn(45, 45) * 0.1
         out["hands_componentsl"] = hc.astype(np.float64)

@@ -147,3 +147,52 @@ class TestDepthCandidates:
         cfg = dataclasses.replace(cfg, depth_candidates_margin=10.0)
         with pytest.warns(UserWarning, match="depth_candidates"):
             _window_static(cfg, assets)
+
+    def test_two_stage_refresh_matches_exact(self):
+        """Stage-boundary refresh (cfg.candidates_refresh_stages): a
+        2-stage fit with a small candidate budget tracks the exact fit —
+        stage 1's candidate sets and frozen remainders are rebuilt from
+        the stage-0 solution, so the energy is exact at BOTH stages' warm
+        starts."""
+        cfg, assets, _ = _setup(depth_candidates=512)
+        two_stage = dict(s2m_weights=[5e2, 5e2], m2s_weights=[1.0, 1.0],
+                         maxiters=4)
+        cfg_on = dataclasses.replace(
+            cfg, output_folder=tempfile.mkdtemp(), **two_stage)
+        cfg_off = dataclasses.replace(
+            cfg, output_folder=tempfile.mkdtemp(), depth_candidates=0,
+            **two_stage)
+        res_on = run_prox_fitting(cfg_on, assets, max_windows=1,
+                                  verbose=False)[0]
+        res_off = run_prox_fitting(cfg_off, assets, max_windows=1,
+                                   verbose=False)[0]
+        assert res_on.term_history["s2m_dist"].shape[0] == 8
+        for term in ("s2m_dist", "m2s_dist"):
+            np.testing.assert_allclose(
+                res_on.term_history[term], res_off.term_history[term],
+                rtol=0.02)
+        np.testing.assert_allclose(
+            np.asarray(res_on.params["transl"]),
+            np.asarray(res_off.params["transl"]), atol=2e-4)
+
+    def test_refresh_exactness_at_stage_boundary(self, monkeypatch):
+        """The stage-1 frozen remainders are recomputed from the stage-0
+        solution (not reused from the original warm start): spy on the
+        pre-pass and check it runs once per stage with moving geometry."""
+        import lemo_tpu.fitting.prox.driver as drv
+
+        cfg, assets, _ = _setup(depth_candidates=256)
+        cfg = dataclasses.replace(
+            cfg, output_folder=tempfile.mkdtemp(),
+            s2m_weights=[5e2, 5e2], m2s_weights=[1.0, 1.0], maxiters=4)
+        seen = []
+        orig = drv._depth_candidate_data
+
+        def spy(cfg_, assets_, warm_, st_):
+            seen.append(np.asarray(warm_["transl"]).copy())
+            return orig(cfg_, assets_, warm_, st_)
+
+        monkeypatch.setattr(drv, "_depth_candidate_data", spy)
+        run_prox_fitting(cfg, assets, max_windows=1, verbose=False)
+        assert len(seen) == 2
+        assert np.abs(seen[1] - seen[0]).max() > 0

@@ -186,3 +186,95 @@ def test_fold_matches_vmap_trajectories():
         np.testing.assert_allclose(np.asarray(terms_f[k]),
                                    np.asarray(terms_v[k]),
                                    rtol=5e-3, atol=1e-5, err_msg=k)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_jacobi_polish_histories_and_handoff():
+    """The Jacobi polish (window_polish_mode='jacobi', the default) runs
+    batched rounds with heads re-injected between them. Asserts the
+    VERDICT-r4 #8 observability contract — every window's term history is
+    the per-stage records PLUS one record per polish round (no length-1
+    overwrite) — and the final head hand-off: each window's frozen head
+    frames equal the previous window's final tail verbatim."""
+    base = tempfile.mkdtemp()
+    info = write_synthetic_prox_recording(base, num_frames=40, seed=17,
+                                          write_depth=False)
+    model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    maxiters, polish, rounds = 10, 6, 3
+    cfg = ProxConfig(
+        recording_dir=info["recording_dir"],
+        output_folder=tempfile.mkdtemp(),
+        batch_size=16, maxiters=maxiters, lr=0.01, flip=False,
+        s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=False, use_friction=False,
+        use_motion_smooth_prior=False, interpenetration=False,
+        contact=False, use_motion_infill_prior=False,
+        window_parallel=True, window_polish_iters=polish,
+        window_polish_mode="jacobi", window_polish_rounds=rounds,
+        steps_per_dispatch=100,
+    )
+    assets = ProxAssets(model=model, vposer_params=info["vposer_params"])
+    res = run_prox_fitting(cfg, assets, max_windows=3, verbose=False)
+    assert len(res) == 3
+
+    # per-round chunking: the fitter's compiled chunk is
+    # min(steps_per_dispatch, maxiters); an override below it still runs
+    # one whole chunk
+    chunk = min(cfg.steps_per_dispatch, maxiters)
+    round_len = -(-max(1, polish // rounds) // chunk) * chunk
+    n_stages = cfg.n_stages
+    for r in res:
+        assert len(r.loss_history) == maxiters + rounds * round_len
+        for k, v in r.term_history.items():
+            assert v.shape[0] == n_stages + rounds, (k, v.shape)
+        assert np.isfinite(r.final_loss)
+
+    # final head hand-off: window w's frozen head == window w-1's tail
+    from lemo_tpu.data.prox import ProxRecording, ProxWindowDataset
+    rec = ProxRecording.from_recording_dir(cfg.recording_dir)
+    ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                           batch_size=cfg.batch_size, flip=False,
+                           read_depth=False, read_mask=False)
+    erase_head = int(16 * 0.15)
+    for w in (1, 2):
+        s_prev, e_prev = ds.windows[w - 1]
+        s_cur, _ = ds.windows[w]
+        ov_n = e_prev - s_cur
+        off = s_cur - s_prev
+        n = min(ov_n, erase_head)
+        np.testing.assert_array_equal(
+            np.asarray(res[w].params["transl"])[:n],
+            np.asarray(res[w - 1].params["transl"])[off:off + n])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sequential_polish_term_history_concat():
+    """window_polish_mode='sequential' (the Gauss-Seidel chain): polished
+    windows append the polish pass's full per-step term history to the
+    stage records instead of overwriting with a length-1 record
+    (VERDICT-r4 weakness #7)."""
+    base = tempfile.mkdtemp()
+    info = write_synthetic_prox_recording(base, num_frames=40, seed=19,
+                                          write_depth=False)
+    model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    maxiters, polish = 8, 6
+    cfg = ProxConfig(
+        recording_dir=info["recording_dir"],
+        output_folder=tempfile.mkdtemp(),
+        batch_size=16, maxiters=maxiters, lr=0.01, flip=False,
+        s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=False, use_friction=False,
+        use_motion_smooth_prior=False, interpenetration=False,
+        contact=False, use_motion_infill_prior=False,
+        window_parallel=True, window_polish_iters=polish,
+        window_polish_mode="sequential",
+    )
+    assets = ProxAssets(model=model, vposer_params=info["vposer_params"])
+    res = run_prox_fitting(cfg, assets, max_windows=3, verbose=False)
+    n_stages = cfg.n_stages
+    for k, v in res[0].term_history.items():   # window 0: never polished
+        assert v.shape[0] == n_stages, (k, v.shape)
+    for r in res[1:]:
+        for k, v in r.term_history.items():
+            assert v.shape[0] == n_stages + polish, (k, v.shape)
+        assert len(r.loss_history) == maxiters + polish
