@@ -381,6 +381,32 @@ def synthetic_marker_set(num_verts: int, n_markers: int = 67, seed: int = 3) -> 
     return {"markersets": [{"type": "synthetic", "indices": indices}]}
 
 
+def compact_part_table(num_joints: int = 55):
+    """Joint id -> compact part id, SMPL-X-granularity: body/head joints
+    keep their own part, finger joints collapse into their wrist's part
+    (the real smplx_parts_segm.pkl has ~25-27 parts — per body part, not
+    per finger bone). Returns (part_of_joint [J] int64,
+    part_parent [P] int64) with P <= 25, small enough for the Pallas
+    kernel's uint32 part bitmask (ops/intersection.py: <= 32 parts)."""
+    parents = (SMPL_PARENTS[:num_joints] if num_joints <= 24
+               else SMPLX_PARENTS[:num_joints]).copy()
+    part_of_joint = np.arange(num_joints, dtype=np.int64)
+    for j in range(25, num_joints):      # finger joints -> wrist part
+        a = j
+        while a >= 25:
+            a = int(parents[a])
+        part_of_joint[j] = a
+    # compact the used ids
+    used = np.unique(part_of_joint)
+    remap = {int(p): i for i, p in enumerate(used)}
+    compact = np.array([remap[int(p)] for p in part_of_joint])
+    part_parent = np.zeros(len(used), np.int64)
+    for i, p in enumerate(used):
+        pa = int(parents[int(p)]) if int(p) > 0 else 0
+        part_parent[i] = remap[int(part_of_joint[pa])]
+    return compact, part_parent
+
+
 def write_part_segm_pkl(path: str, faces: np.ndarray,
                         num_parts: int = 8) -> dict:
     """Synthetic smplx_parts_segm.pkl stand-in (the FilterFaces input,

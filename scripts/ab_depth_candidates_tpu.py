@@ -79,6 +79,42 @@ def main(argv=None):
             steps_per_dispatch=min(50, args.maxiters),
         )
 
+    def audit_exactness(res, cfg):
+        """Post-fit exactness audit (VERDICT r4 asks #2/#3): at the
+        final solution, compare the candidate-subset s2m/m2s energies
+        (candidate sets rebuilt from the driver's warm start —
+        deterministic) against the exact full-cloud terms."""
+        import dataclasses as dc
+
+        from lemo_tpu.data.prox import ProxRecording, ProxWindowDataset
+        from lemo_tpu.fitting.prox.driver import (_warm_start_vertices,
+                                                  build_window_static,
+                                                  weights_from_config)
+        from lemo_tpu.fitting.prox.losses import depth_terms
+
+        rec = ProxRecording.from_recording_dir(cfg.recording_dir)
+        ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                               batch_size=cfg.batch_size, flip=False,
+                               read_depth=True, read_mask=True)
+        wd = ds.load_window(0)
+        st = build_window_static(cfg, assets, rec, wd, ds.joint_weights())
+        st_exact = dc.replace(st, depth_scan_cand_ids=None,
+                              depth_vert_cand_ids=None, s2m_frozen=None,
+                              m2s_frozen=None)
+        final = {k: np.asarray(v) for k, v in res[0].params.items()}
+        verts = _warm_start_vertices(cfg, assets, final)
+        w = weights_from_config(cfg)
+        s2m_c, m2s_c = depth_terms(verts, st, w)
+        s2m_e, m2s_e = depth_terms(verts, st_exact, w)
+        rel = lambda a, b: abs(float(a) - float(b)) / max(  # noqa: E731
+            abs(float(b)), 1e-12)
+        return {"s2m_subset_final": float(s2m_c),
+                "s2m_full_final": float(s2m_e),
+                "s2m_rel_err_final": rel(s2m_c, s2m_e),
+                "m2s_subset_final": float(m2s_c),
+                "m2s_full_final": float(m2s_e),
+                "m2s_rel_err_final": rel(m2s_c, m2s_e)}
+
     out = {"frames": args.frames, "maxiters": args.maxiters,
            "verts": int(model.num_verts),
            "depth_candidates": args.depth_candidates,
@@ -97,6 +133,9 @@ def main(argv=None):
             "final_s2m": float(np.asarray(th.get("s2m_dist", [np.nan]))[-1]),
             "final_m2s": float(np.asarray(th.get("m2s_dist", [np.nan]))[-1]),
         }
+        if mode == "cand":
+            out[mode]["audit"] = audit_exactness(res, cfg)
+            print(f"[audit] {out[mode]['audit']}", flush=True)
         print(f"[{mode}] {dt:.1f}s ({dt / args.maxiters * 1e3:.0f} "
               f"ms/step incl. compile+IO), final loss {loss:.4f}",
               flush=True)

@@ -1,18 +1,31 @@
 """A/B the full-recording PROX S3 fit on the real TPU: sequential windows
-vs window-PARALLEL (fold impl) on ONE chip (VERDICT r3 ask #1).
+vs window-PARALLEL (fold impl) on ONE chip (VERDICT r3 ask #1, r4 ask #1).
 
-The round-3 north-star number (full 2000-frame Stage-3 recording,
-sdf_candidates+fp8 config) was 14.3 min measured sequentially with a
-v5e-8 extrapolation that ASSUMED window-batching efficiency. This script
-measures that efficiency on hardware that exists here: the folded
-window-parallel fitter (window.py impl='fold') batches all W windows into
-one device program on the single chip — the same program that shards over
-a real mesh — so
+The folded window-parallel fitter (window.py impl='fold') batches all W
+windows into one device program on the single chip — the same program
+that shards over a real mesh — so
 
     batching_efficiency = t_sequential / t_parallel        (1 chip)
-    v5e-8 projection    = t_parallel_1chip / 8 + polish/IO
 
-replaces the assumption with a measurement.
+is a measurement, not an assumption. The v5e-8 projection is Amdahl over
+the driver's recorded wall-clock split (driver.LAST_PARALLEL_TIMINGS):
+only the mesh-sharded device programs (the batched fit + the Jacobi
+polish rounds) divide by 8; window loading, the infill pre-pass, the
+candidate pre-passes, and pkl IO are host work and do NOT:
+
+    v5e-8 projection = shardable_s / 8 + unshardable_s
+
+(The round-4 version of this script divided the TOTAL by 8 — including
+the then-sequential Gauss-Seidel polish chain — which VERDICT r4 called
+out as dishonest arithmetic. The polish is now the batched Jacobi
+schedule, so it genuinely shards; the remaining unshardable floor is
+host-side IO/pre-pass work that the artifact records explicitly.)
+
+`--modes seq,par,par_high` adds the HEAVY_MATMUL_PRECISION='high' lever
+(3-pass bf16 vertex path, 9.6e-5 m forward error in ab_precision_tpu):
+par_high re-runs the parallel fit at 'high' and the artifact records the
+end-to-end final-solution marker drift vs the exact-f32 'par' run —
+VERDICT r4 ask #6.
 
 Run (TPU):  python scripts/ab_window_parallel_tpu.py --num_frames 2000
 Quick:      python scripts/ab_window_parallel_tpu.py --num_frames 450
@@ -38,12 +51,18 @@ def main(argv=None):
     ap.add_argument("--num_frames", type=int, default=2000)
     ap.add_argument("--maxiters", type=int, default=900)
     ap.add_argument("--polish_iters", type=int, default=300)
+    ap.add_argument("--polish_rounds", type=int, default=3)
     ap.add_argument("--modes", default="seq,par",
-                    help="comma list: seq, par")
+                    help="comma list: seq, par, par_high")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for a smoke run)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp  # noqa: F401
 
     from lemo_tpu.body_model import load_model
@@ -104,21 +123,55 @@ def main(argv=None):
             interpenetration=False, contact=False,
             window_parallel=parallel,
             window_polish_iters=args.polish_iters if parallel else 0,
+            window_polish_mode="jacobi",
+            window_polish_rounds=args.polish_rounds,
             steps_per_dispatch=100,
         )
 
+    from lemo_tpu.body_model import lbs as lbs_mod
+    from lemo_tpu.fitting.prox import driver as drv
+
+    def final_markers(res):
+        """World 67-markers of every window's final solution, computed
+        at HIGHEST precision regardless of the run's mode (the drift
+        metric itself must be exact)."""
+        import jax.numpy as jnp
+
+        from lemo_tpu.body_model import make_forward_fn
+        from lemo_tpu.data import markers as mk
+
+        saved = lbs_mod.HEAVY_MATMUL_PRECISION
+        lbs_mod.HEAVY_MATMUL_PRECISION = "highest"
+        try:
+            fwd = jax.jit(make_forward_fn(model))
+            ids = mk.marker_indices(False, num_verts=model.num_verts)
+            outs = []
+            for r in res:
+                params = model.zero_params(r.params["transl"].shape[0])
+                for k, v in r.params.items():
+                    if k in params:
+                        params[k] = jnp.asarray(v)
+                outs.append(np.asarray(
+                    fwd(params, model.consts)["vertices"])[:, ids])
+            return np.stack(outs)
+        finally:
+            lbs_mod.HEAVY_MATMUL_PRECISION = saved
+
     out = {"num_frames": args.num_frames, "maxiters": args.maxiters,
+           "polish_iters": args.polish_iters,
+           "polish_rounds": args.polish_rounds,
            "device": str(jax.devices()[0])}
     modes = args.modes.split(",")
-    results = {}
+    markers = {}
     for mode in modes:
-        cfg = cfg_for(mode == "par")
+        cfg = cfg_for(mode != "seq")
+        lbs_mod.HEAVY_MATMUL_PRECISION = \
+            "high" if mode == "par_high" else "highest"
         t0 = time.time()
         res = run_prox_fitting(cfg, assets, verbose=False)
         dt = time.time() - t0
         n_win = len(res)
         losses = [float(r.final_loss) for r in res]
-        results[mode] = res
         out[mode] = {
             "wall_s": round(dt, 1),
             "wall_min": round(dt / 60, 2),
@@ -126,28 +179,43 @@ def main(argv=None):
             "s_per_window": round(dt / n_win, 2),
             "mean_final_loss": round(float(np.mean(losses)), 4),
         }
+        if mode != "seq":
+            split = {k: (round(v, 1) if isinstance(v, float) else v)
+                     for k, v in drv.LAST_PARALLEL_TIMINGS.items()}
+            out[mode]["split"] = split
+            # Amdahl: only the mesh-sharded device programs divide by 8
+            out[mode]["v5e8_projection_min"] = round(
+                (split["shardable_s"] / 8 + split["unshardable_s"]) / 60,
+                2)
+        if mode in ("par", "par_high"):
+            markers[mode] = final_markers(res)
         print(f"[{mode}] {dt / 60:.2f} min, {n_win} windows "
               f"({dt / n_win:.1f} s/window), mean final loss "
               f"{np.mean(losses):.4f}", flush=True)
+    lbs_mod.HEAVY_MATMUL_PRECISION = "highest"
 
     if "seq" in out and "par" in out:
         eff = out["seq"]["wall_s"] / out["par"]["wall_s"]
         out["batching_efficiency_1chip"] = round(eff, 3)
-        # on v5e-8 the folded window batch shards W/8 windows per chip;
-        # per-chip work drops 8x while the measured 1-chip batching
-        # overhead (compile reuse, conv prior at batch W/8 not W) stays
-        # bounded by the 1-chip measurement — project conservatively by
-        # dividing only the parallel fit portion by 8
-        out["v5e8_projection_min"] = round(
-            out["par"]["wall_s"] / 8 / 60, 2)
+        out["v5e8_projection_min"] = out["par"]["v5e8_projection_min"]
         print(f"batching efficiency (seq/par, 1 chip): {eff:.2f}x; "
-              f"v5e-8 projection {out['v5e8_projection_min']:.2f} min",
-              flush=True)
+              f"v5e-8 projection (Amdahl over the recorded split) "
+              f"{out['v5e8_projection_min']:.2f} min", flush=True)
         # solution agreement (windows are stitched differently — the
         # parallel path polishes overlaps — so compare final losses)
         dl = abs(out["seq"]["mean_final_loss"]
                  - out["par"]["mean_final_loss"])
         out["mean_final_loss_delta"] = round(float(dl), 4)
+    if "par" in markers and "par_high" in markers:
+        drift = np.abs(markers["par_high"] - markers["par"])
+        out["precision_high_marker_drift_m"] = {
+            "max": float(drift.max()),
+            "mean": float(drift.mean()),
+            "p99": float(np.percentile(drift, 99)),
+        }
+        print("par_high end-to-end marker drift vs par: "
+              f"max {drift.max():.2e} m, mean {drift.mean():.2e} m",
+              flush=True)
 
     if args.out:
         with open(args.out, "w") as fh:
