@@ -37,9 +37,17 @@ import hashlib
 def _host_key() -> str:
     try:
         with open("/proc/cpuinfo") as f:
+            # flags AND model name: two hosts can share a flags line yet
+            # get different XLA tuning (e.g. prefer-no-scatter), and the
+            # AOT loader then warns + may silently change f32 results
+            key = ""
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                if line.startswith(("flags", "model name")):
+                    key += line
+                    if "flags" in key and "model name" in key:
+                        break
+            if key:
+                return hashlib.sha1(key.encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform
