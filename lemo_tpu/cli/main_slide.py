@@ -13,7 +13,11 @@ import sys
 def main(argv=None):
     from lemo_tpu.config import parse_config
     from lemo_tpu.fitting.prox.driver import run_prox_fitting
+    from lemo_tpu.utils.compile_cache import enable_persistent_cache
 
+    # recordings with the same window shape reuse each other's XLA
+    # compiles (30-60 s each) across processes
+    enable_persistent_cache()
     cfg = parse_config(argv)
     if not cfg.recording_dir:
         print("error: --recording_dir is required", file=sys.stderr)

@@ -108,6 +108,13 @@ class ProxConfig:
     # count from S*V to K^2 per frame. 0 = off (full clouds, exact).
     depth_candidates: int = 0
     depth_candidates_margin: float = 0.1
+    # with depth_candidates on, also freeze the z-buffer visibility of
+    # the candidate vertices at refresh time: the per-step full-body
+    # splat is the dominant depth-term cost once the NN pairs are
+    # subset-sized (same amortization contract; visibility is a
+    # stop-gradient heuristic the reference recomputes per iteration).
+    # False restores per-step live visibility.
+    depth_frozen_visibility: bool = True
     # optimizer steps per device dispatch (tunneled-TPU watchdog guard;
     # lower it when slow terms like interpenetration are enabled)
     steps_per_dispatch: int = 100

@@ -209,6 +209,51 @@ def _load_sdf_cached(cfg: ProxConfig, rec: ProxRecording):
     return _SDF_CACHE[key]
 
 
+# jitted pre-pass programs per ProxAssets object: every window (and every
+# stage refresh) reuses one compilation — rebuilding make_forward_fn per
+# call retraced per window and dominated the window-parallel driver's
+# host floor (measured ~3 s/window of retrace at production scale)
+_PREPASS_JIT_CACHE: dict = {}
+
+
+def _cached_prepass_fns(cfg: ProxConfig, assets: ProxAssets):
+    """(warm_verts(warm) -> [T, V, 3], min_sdf(warm, R, t, sdf, gmin,
+    gmax) -> [V]) — both jitted once per assets object."""
+    import jax
+
+    key = (id(assets), bool(cfg.use_vposer))
+    if key in _PREPASS_JIT_CACHE:
+        return _PREPASS_JIT_CACHE[key]
+    from lemo_tpu.body_model import make_forward_fn, vposer as vp
+    from lemo_tpu.ops.sdf import sample_sdf_world
+
+    model = assets.model
+    fwd = make_forward_fn(model, fused=False)
+    use_vposer = bool(cfg.use_vposer)
+
+    def verts_of(warm):
+        params = {k: v for k, v in warm.items()
+                  if k not in ("pose_embedding", "body_pose")}
+        if use_vposer and "pose_embedding" in warm:
+            params["body_pose"] = vp.decode(
+                assets.vposer_params, warm["pose_embedding"], "aa")
+        elif "body_pose" in warm:
+            params["body_pose"] = warm["body_pose"]
+        return fwd(params, model.consts)["vertices"]
+
+    def min_sdf_of(warm, R, t, sdf, grid_min, grid_max):
+        vw = verts_of(warm) @ R.T + t
+        vals = sample_sdf_world(sdf, vw.reshape(-1, 3), grid_min,
+                                grid_max, crop=None)
+        return vals.reshape(vw.shape[0], -1).min(axis=0)
+
+    fns = (jax.jit(verts_of), jax.jit(min_sdf_of))
+    _PREPASS_JIT_CACHE[key] = fns
+    if len(_PREPASS_JIT_CACHE) > 4:
+        _PREPASS_JIT_CACHE.pop(next(iter(_PREPASS_JIT_CACHE)))
+    return fns
+
+
 def _sdf_candidate_ids(cfg: ProxConfig, assets: ProxAssets, warm: dict,
                        R, t, sdf, grid_min, grid_max) -> np.ndarray:
     """[K] vertex ids whose warm-start body comes within
@@ -220,20 +265,12 @@ def _sdf_candidate_ids(cfg: ProxConfig, assets: ProxAssets, warm: dict,
     vertices are inside the margin the nearest/deepest win; if fewer, the
     set is padded with the next-nearest vertices (harmless extra
     samples)."""
-    from lemo_tpu.body_model import make_forward_fn, vposer as vp
-    from lemo_tpu.ops.sdf import sample_sdf_world
-
+    _, min_sdf_of = _cached_prepass_fns(cfg, assets)
+    warm_j = {k: jnp.asarray(v) for k, v in warm.items()}
+    min_sdf = np.asarray(min_sdf_of(warm_j, jnp.asarray(R),
+                                    jnp.asarray(t), sdf, grid_min,
+                                    grid_max))
     model = assets.model
-    params = {k: jnp.asarray(v) for k, v in warm.items()
-              if k != "pose_embedding"}
-    if cfg.use_vposer and "pose_embedding" in warm:
-        params["body_pose"] = vp.decode(
-            assets.vposer_params, jnp.asarray(warm["pose_embedding"]), "aa")
-    out = make_forward_fn(model)(params, model.consts)
-    vw = out["vertices"] @ jnp.asarray(R).T + jnp.asarray(t)
-    vals = sample_sdf_world(sdf, vw.reshape(-1, 3), grid_min, grid_max,
-                            crop=None)
-    min_sdf = np.asarray(vals.reshape(vw.shape[0], -1).min(axis=0))  # [V]
     K = min(int(cfg.sdf_candidates), model.num_verts)
     n_close = int((min_sdf < cfg.sdf_candidates_margin).sum())
     if n_close > K:
@@ -249,15 +286,8 @@ def _warm_start_vertices(cfg: ProxConfig, assets: ProxAssets,
                          warm: dict) -> jnp.ndarray:
     """Body vertices (cam coords) of the warm-start parameters — the
     stop-gradient geometry both candidate pre-passes sample."""
-    from lemo_tpu.body_model import make_forward_fn, vposer as vp
-
-    model = assets.model
-    params = {k: jnp.asarray(v) for k, v in warm.items()
-              if k != "pose_embedding"}
-    if cfg.use_vposer and "pose_embedding" in warm:
-        params["body_pose"] = vp.decode(
-            assets.vposer_params, jnp.asarray(warm["pose_embedding"]), "aa")
-    return make_forward_fn(model)(params, model.consts)["vertices"]
+    verts_of, _ = _cached_prepass_fns(cfg, assets)
+    return verts_of({k: jnp.asarray(v) for k, v in warm.items()})
 
 
 def _coll_candidate_scores(cfg: ProxConfig, assets: ProxAssets,
@@ -443,7 +473,10 @@ def _depth_candidate_data(cfg: ProxConfig, assets: ProxAssets, warm: dict,
         [full_m - live_m,
          (mask_full.sum(axis=1) - mask_live.sum(axis=1)).astype(np.float64)],
         axis=1).astype(np.float32)
-    return sids, vids, s2m_frozen, m2s_frozen
+    # warm-start visibility of the candidate vertices: consumed when
+    # cfg.depth_frozen_visibility amortizes the per-step z-buffer
+    vis_cand = vis_np[ar, vids]
+    return sids, vids, s2m_frozen, m2s_frozen, vis_cand
 
 
 def _candidate_updates(cfg: ProxConfig, assets: ProxAssets, warm: dict,
@@ -468,12 +501,14 @@ def _candidate_updates(cfg: ProxConfig, assets: ProxAssets, warm: dict,
             _coll_candidate_ids(cfg, assets, warm))
     if ((cfg.s2m or cfg.m2s) and st.scan is not None
             and getattr(cfg, "depth_candidates", 0) > 0):
-        sids, vids, s2m_fr, m2s_fr = _depth_candidate_data(
+        sids, vids, s2m_fr, m2s_fr, vis_c = _depth_candidate_data(
             cfg, assets, warm, st)
         upd.update(depth_scan_cand_ids=jnp.asarray(sids),
                    depth_vert_cand_ids=jnp.asarray(vids),
                    s2m_frozen=jnp.asarray(s2m_fr),
                    m2s_frozen=jnp.asarray(m2s_fr))
+        if getattr(cfg, "depth_frozen_visibility", True):
+            upd["depth_vis_frozen"] = jnp.asarray(vis_c)
     return upd
 
 
@@ -733,12 +768,15 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     with ThreadPoolExecutor(max_workers=8) as ex:
         window_data = list(ex.map(ds.load_window, range(n_windows)))
     timings = {"load_s": time.time() - tsec}
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
     tsec = time.time()
     # S3: the infill pre-pass runs from the warm starts (the parallel
     # path has no sequential dependence — all warm starts come from the
     # previous stage's pkls), batched over the window axis: one vmapped
     # warm-start forward + one vmapped 60-step AE finetune dispatch for
-    # the whole recording instead of W sequential ones
+    # the whole recording instead of W sequential ones. Under a mesh the
+    # window axis is sharded (AE params replicate), so the pre-pass
+    # scales with the fit instead of sitting on the host floor.
     infill_results = [None] * n_windows
     if cfg.use_motion_infill_prior and assets.infill_ae_params:
         from lemo_tpu.fitting.prox.infill_prepass import (
@@ -748,15 +786,43 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
         warm_stack = {k: jnp.stack([jnp.asarray(wd["warm_start"][k])
                                     for wd in window_data])
                       for k in window_data[0]["warm_start"]}
-        mv67, mj = jax.vmap(warm_world_markers)(warm_stack)
         masks = np.stack([wd["marker_mask"] for wd in window_data])
-        tw, cl = make_batched_prepass(assets.infill_stats)(
-            assets.infill_ae_params, mv67, mj, jnp.asarray(masks))
+        masks_j = jnp.asarray(masks)
+        W_eff = n_windows
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_sh = mesh.devices.size
+            W_pad = ((n_windows + n_sh - 1) // n_sh) * n_sh
+            if W_pad > n_windows:
+                rep = lambda x: jnp.concatenate(  # noqa: E731
+                    [x, jnp.broadcast_to(x[:1],
+                                         (W_pad - n_windows,) + x.shape[1:])])
+                warm_stack = {k: rep(v) for k, v in warm_stack.items()}
+                masks_j = rep(masks_j)
+            shard = NamedSharding(mesh, P("dp"))
+            warm_stack = {k: jax.device_put(v, shard)
+                          for k, v in warm_stack.items()}
+            masks_j = jax.device_put(masks_j, shard)
+            W_eff = W_pad
+        # jit the vmapped forward: with mesh-sharded inputs an eager vmap
+        # dispatches every op as its own multi-device computation
+        mv67, mj = jax.jit(jax.vmap(warm_world_markers))(warm_stack)
+        # explicit AOT compile so the one-time XLA compile is split from
+        # the sharded run (the compile neither shards nor repeats under
+        # the persistent compilation cache)
+        prepass_fn = make_batched_prepass(assets.infill_stats)
+        t_c = time.time()
+        compiled = prepass_fn.lower(
+            assets.infill_ae_params, mv67, mj, masks_j).compile()
+        timings["prepass_compile_s"] = time.time() - t_c
+        tw, cl = compiled(assets.infill_ae_params, mv67, mj, masks_j)
         infill_results = [
             InfillPrepassResult(
                 targets_world=tw[i], contact_lbl=cl[i],
                 had_occlusion=bool(masks[i].size > masks[i].sum()))
             for i in range(n_windows)]
+        del W_eff
     timings["prepass_s"] = time.time() - tsec
     tsec = time.time()
     # candidate sets are applied separately (_apply_candidates_batch)
@@ -786,7 +852,6 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     first_mask = jnp.asarray([i == 0 for i in range(n_windows)])
     timings["static_build_s"] = time.time() - tsec
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
     priors = build_priors(cfg)
     n_stages = cfg.n_stages
     timings["fit_s"] = timings["refresh_s"] = 0.0
@@ -818,6 +883,16 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
         opt_vars, betas, losses, batch_terms = fitter(
             static_batch_s, warm, first_mask)
         timings["fit_s"] += time.time() - tsec
+        # first chunk carries the stage program's XLA compile; estimate
+        # it as (first chunk - median of the rest) so projections can
+        # separate compile (per recording-shape, amortized by the
+        # persistent compilation cache) from steady stepping
+        from lemo_tpu.fitting.prox.window import LAST_CHUNK_TIMES
+        if len(LAST_CHUNK_TIMES) > 1:
+            import statistics
+            timings["fit_compile_s"] = timings.get("fit_compile_s", 0.0) \
+                + max(0.0, LAST_CHUNK_TIMES[0]
+                      - statistics.median(LAST_CHUNK_TIMES[1:]))
         losses_stages.append(np.asarray(losses))
         terms_stages.append(batch_terms)
         if stage + 1 < n_stages:
@@ -879,7 +954,9 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                         arrs[k][widx, :n_inj] = \
                             arrs[k][widx - 1, off:off + n_inj]
 
+        round_s = []
         for _ in range(rounds):
+            t_r = time.time()
             inject_heads(cur, lambda ov_n: ov_n)
             params = {k: jnp.asarray(v) for k, v in cur.items()}
             params["betas"] = betas
@@ -887,6 +964,7 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                 static_batch_s, params, first_mask,
                 maxiters_override=iters_per_round, erase_override=erase)
             cur = {k: np.array(v) for k, v in ov2.items()}
+            round_s.append(round(time.time() - t_r, 1))
             for widx in range(n_windows):
                 loss_hists[widx] = np.concatenate(
                     [loss_hists[widx], np.asarray(p_losses[widx])])
@@ -894,6 +972,7 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
                     k: np.concatenate([term_hists[widx][k],
                                        np.asarray(p_terms[k][widx:widx + 1])])
                     for k in term_hists[widx]}
+        timings["polish_round_s"] = round_s
         # final head hand-off: the frozen head frames equal the previous
         # window's FINAL tail verbatim (the sequential-polish invariant;
         # these frames were frozen during the rounds, so this changes no
@@ -969,12 +1048,23 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
     timings["save_s"] = time.time() - tsec
     timings["total_s"] = time.time() - t0
     timings["polish_mode"] = polish_mode if polish > 0 else "off"
-    # the batched fit and (jacobi) polish are mesh-sharded device
-    # programs; everything else is host work that does NOT shard —
-    # multi-chip projections must use this split (Amdahl), never total/N
-    timings["shardable_s"] = timings["fit_s"] + (
-        timings["polish_s"] if timings["polish_mode"] == "jacobi" else 0.0)
-    timings["unshardable_s"] = timings["total_s"] - timings["shardable_s"]
+    # the batched fit, the (jacobi) polish rounds, and the window-axis-
+    # sharded infill pre-pass are mesh-sharded device programs;
+    # everything else (window IO, candidate pre-passes, pkl saves) is
+    # host/serial work that does NOT shard — multi-chip projections must
+    # use this split (Amdahl), never total/N. fit_compile_s (inside
+    # fit_s) is the per-recording-shape XLA compile: it neither shards
+    # nor repeats once the persistent compilation cache is warm, so it
+    # is reported separately for cold vs cache-warm projections.
+    timings["compile_s"] = (timings.get("fit_compile_s", 0.0)
+                            + timings.get("prepass_compile_s", 0.0))
+    timings["shardable_s"] = (
+        timings["fit_s"] - timings.get("fit_compile_s", 0.0)
+        + timings["prepass_s"] - timings.get("prepass_compile_s", 0.0)
+        + (timings["polish_s"] if timings["polish_mode"] == "jacobi"
+           else 0.0))
+    timings["unshardable_s"] = (timings["total_s"] - timings["shardable_s"]
+                                - timings["compile_s"])
     LAST_PARALLEL_TIMINGS.clear()
     LAST_PARALLEL_TIMINGS.update(timings)
     if verbose:
@@ -984,7 +1074,7 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
               f"; losses {[round(float(h[-1]), 3) for h in loss_hists]}; "
               "split " + ", ".join(
                   f"{k}={v:.1f}s" for k, v in timings.items()
-                  if k.endswith("_s")))
+                  if k.endswith("_s") and isinstance(v, float)))
     return results
 
 

@@ -91,6 +91,13 @@ def _prepass_core(ae_params: dict, markers_world: jnp.ndarray,
             jax.lax.stop_gradient(contact_lbl))
 
 
+# jitted _prepass_core per (stats object, finetune schedule): the core
+# contains the 60-step AE finetune — eager execution dispatched it step
+# by step (minutes per call on CPU, dozens of round-trips on TPU), and
+# every caller reuses one compilation per shape
+_CORE_CACHE: dict = {}
+
+
 def run_infill_prepass(
     ae_params: dict,
     markers_world: jnp.ndarray,   # [T, 67, 3] from the warm-start body
@@ -100,9 +107,17 @@ def run_infill_prepass(
     finetune_steps: int = 60,
     finetune_lr: float = 3e-6,
 ) -> InfillPrepassResult:
-    targets_world, contact_lbl = _prepass_core(
-        ae_params, markers_world, joints_world, marker_mask, stats,
-        finetune_steps, finetune_lr)
+    from functools import partial
+
+    key = (id(stats), finetune_steps, finetune_lr)
+    if key not in _CORE_CACHE:
+        _CORE_CACHE[key] = jax.jit(partial(
+            _prepass_core, stats=stats, finetune_steps=finetune_steps,
+            finetune_lr=finetune_lr))
+        if len(_CORE_CACHE) > 4:
+            _CORE_CACHE.pop(next(iter(_CORE_CACHE)))
+    targets_world, contact_lbl = _CORE_CACHE[key](
+        ae_params, markers_world, joints_world, marker_mask)
     had_occ = bool(marker_mask.size > float(marker_mask.sum()))
     return InfillPrepassResult(
         targets_world=targets_world,

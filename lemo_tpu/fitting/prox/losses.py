@@ -139,6 +139,14 @@ class ProxStatic:
     depth_vert_cand_ids: Any = None  # [T, Kv] int32
     s2m_frozen: Any = None           # [T, 2]: (frozen gmof sum, n_valid)
     m2s_frozen: Any = None           # [T, 2]: (frozen gmof*vis sum, count)
+    # warm-start visibility of the candidate vertices [T, Kv] bool
+    # (cfg.depth_frozen_visibility): the per-step z-buffer splat of the
+    # FULL body is the depth terms' dominant cost once the NN pair count
+    # is candidate-subset sized (measured 2.4 s/step at S=20k V=10475
+    # B=100 with the pairs already amortized, ab_depth_candidates r5);
+    # visibility is already a stop-gradient self-occlusion heuristic, so
+    # it amortizes under the same refresh contract as the candidates
+    depth_vis_frozen: Any = None
     # depth-term visibility: body topology for per-frame vertex normals
     # (backface culling — the cheap exact self-occlusion test; see
     # ops.visibility.visibility_zbuffer)
@@ -155,7 +163,7 @@ _STATIC_ARRAY_FIELDS = [
     "infill_contact_lbl", "marker_mask", "infill_marker_ids",
     "sdf_candidate_ids", "faces", "faces_segm", "ign_table",
     "coll_candidate_ids", "depth_scan_cand_ids", "depth_vert_cand_ids",
-    "s2m_frozen", "m2s_frozen", "faces_vis",
+    "s2m_frozen", "m2s_frozen", "depth_vis_frozen", "faces_vis",
 ]
 _STATIC_AUX_FIELDS = ["camera", "image_size"]
 
@@ -166,7 +174,7 @@ PER_WINDOW_FIELDS = frozenset({
     "gt_joints", "joints_conf", "scan", "scan_mask", "marker_mask",
     "infill_targets", "infill_contact_lbl", "sdf_candidate_ids",
     "coll_candidate_ids", "depth_scan_cand_ids", "depth_vert_cand_ids",
-    "s2m_frozen", "m2s_frozen"})
+    "s2m_frozen", "m2s_frozen", "depth_vis_frozen"})
 
 
 def _prox_static_flatten(st: ProxStatic):
@@ -243,16 +251,24 @@ def depth_terms(verts_cam, st: ProxStatic, w: ProxWeights):
             m2s = robust.masked_mean(ds, mask)
         return s2m, m2s
 
-    def per_frame_cand(v, scan, scan_m, sids, vids, s2m_fr, m2s_fr):
+    frozen_vis = st.depth_vis_frozen is not None
+
+    def per_frame_cand(v, scan, scan_m, sids, vids, s2m_fr, m2s_fr,
+                       vis_fr):
         # temporal-coherence subset (driver._depth_candidate_data): live
         # K x K Chamfer on the candidate clouds; non-candidates enter as
         # the frozen warm-start (sum, count) pairs, so the energy equals
-        # the full term exactly at refresh time. The z-buffer still
-        # splats the FULL body (occlusion needs all vertices); only the
-        # pairwise-distance work shrinks.
-        vis = frame_vis(jax.lax.stop_gradient(v))
+        # the full term exactly at refresh time. With frozen visibility
+        # (st.depth_vis_frozen) the per-step full-body z-buffer splat —
+        # the dominant cost once the pairs are subset-sized — is
+        # amortized under the same refresh contract; otherwise the
+        # z-buffer still splats the FULL body per step.
         v_c = v[vids]
-        vis_c = vis[vids]
+        if frozen_vis:
+            vis_c = vis_fr
+        else:
+            vis = frame_vis(jax.lax.stop_gradient(v))
+            vis_c = vis[vids]
         scan_c = scan[sids]
         scan_m_c = scan_m[sids]
         s2m = 0.0
@@ -278,9 +294,12 @@ def depth_terms(verts_cam, st: ProxStatic, w: ProxWeights):
         return s2m, m2s
 
     if cand:
+        vis_arg = (st.depth_vis_frozen if frozen_vis else
+                   jnp.zeros(st.depth_vert_cand_ids.shape, bool))
         s2m, m2s = jax.vmap(per_frame_cand)(
             verts_cam, st.scan, st.scan_mask, st.depth_scan_cand_ids,
-            st.depth_vert_cand_ids, st.s2m_frozen, st.m2s_frozen)
+            st.depth_vert_cand_ids, st.s2m_frozen, st.m2s_frozen,
+            vis_arg)
     else:
         s2m, m2s = jax.vmap(per_frame)(verts_cam, st.scan, st.scan_mask)
     return s2m.mean() * w.s2m, m2s.mean() * w.m2s

@@ -220,6 +220,12 @@ def make_window_fitter(
     return fit
 
 
+# per-chunk wall times of the most recent batched fit() call (first
+# entry carries the XLA compile): the driver separates compile from
+# steady-state stepping when projecting multi-chip wall-clock
+LAST_CHUNK_TIMES: list = []
+
+
 def make_batched_window_fitter(
     model: SmplxModel,
     vposer_params: dict,
@@ -455,11 +461,17 @@ def make_batched_window_fitter(
         all_losses = []
         done = 0
         terms = None
+        import time as _time
+
+        chunk_times = []
         while done < total_iters:
+            tc = _time.time()
             opt_vars, opt_state, losses, terms = run_chunk_v(
                 opt_vars, opt_state, betas, static_batch, erase_n)
-            all_losses.append(np.asarray(losses))
+            all_losses.append(np.asarray(losses))   # forces device sync
+            chunk_times.append(_time.time() - tc)
             done += chunk
+        LAST_CHUNK_TIMES[:] = chunk_times
         # a maxiters_override below the chunk size still runs whole
         # chunks (the chunk program is what's compiled) — the history is
         # reported in full rather than truncated to the requested count

@@ -34,8 +34,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--maxiters", type=int, default=100)
     ap.add_argument("--depth_candidates", type=int, default=2048)
-    ap.add_argument("--modes", default="cand,exact",
-                    help="comma list: cand, exact")
+    ap.add_argument("--modes", default="cand,cand_livevis,exact",
+                    help="comma list: cand (frozen visibility), "
+                         "cand_livevis (per-step z-buffer), exact")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for a smoke run)")
     ap.add_argument("--out", default="")
@@ -65,7 +66,8 @@ def main(argv=None):
     assets = ProxAssets(model=model, vposer_params=info["vposer_params"],
                         smooth_enc_params=None, smooth_stats=None)
 
-    def cfg_for(cand: bool) -> ProxConfig:
+    def cfg_for(mode: str) -> ProxConfig:
+        cand = mode.startswith("cand")
         return ProxConfig(
             recording_dir=info["recording_dir"],
             output_folder=tempfile.mkdtemp(),
@@ -76,6 +78,7 @@ def main(argv=None):
             use_motion_smooth_prior=False, use_motion_infill_prior=False,
             contact=False, interpenetration=False,
             depth_candidates=args.depth_candidates if cand else 0,
+            depth_frozen_visibility=(mode == "cand"),
             steps_per_dispatch=min(50, args.maxiters),
         )
 
@@ -100,7 +103,7 @@ def main(argv=None):
         st = build_window_static(cfg, assets, rec, wd, ds.joint_weights())
         st_exact = dc.replace(st, depth_scan_cand_ids=None,
                               depth_vert_cand_ids=None, s2m_frozen=None,
-                              m2s_frozen=None)
+                              m2s_frozen=None, depth_vis_frozen=None)
         final = {k: np.asarray(v) for k, v in res[0].params.items()}
         verts = _warm_start_vertices(cfg, assets, final)
         w = weights_from_config(cfg)
@@ -120,7 +123,7 @@ def main(argv=None):
            "depth_candidates": args.depth_candidates,
            "device": str(jax.devices()[0])}
     for mode in args.modes.split(","):
-        cfg = cfg_for(mode == "cand")
+        cfg = cfg_for(mode)
         t0 = time.time()
         res = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)
         dt = time.time() - t0
@@ -133,7 +136,7 @@ def main(argv=None):
             "final_s2m": float(np.asarray(th.get("s2m_dist", [np.nan]))[-1]),
             "final_m2s": float(np.asarray(th.get("m2s_dist", [np.nan]))[-1]),
         }
-        if mode == "cand":
+        if mode.startswith("cand"):
             out[mode]["audit"] = audit_exactness(res, cfg)
             print(f"[audit] {out[mode]['audit']}", flush=True)
         print(f"[{mode}] {dt:.1f}s ({dt / args.maxiters * 1e3:.0f} "

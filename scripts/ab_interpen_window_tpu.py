@@ -41,6 +41,8 @@ def main(argv=None):
                     help="wire the tube mesh's per-bone part ids + the "
                          "kinematic parent ignore table (FilterFaces "
                          "realism; VERDICT r4 ask #7)")
+    ap.add_argument("--small", action="store_true",
+                    help="536-vert mesh for a CPU smoke run")
     ap.add_argument("--modes", default="cand,pallas",
                     help="comma list: cand, pallas")
     # the tunneled dev chip's watchdog kills dispatches that run minutes;
@@ -75,7 +77,8 @@ def main(argv=None):
     # meet, like a real mesh. The default random-triangle soup has EVERY
     # face on a firing pair, which no broad phase can prune (measured:
     # n_active == F, cand == dense speed).
-    md = synthetic_smplx_npz(full_size=True, smooth_surface=True)
+    md = synthetic_smplx_npz(full_size=not args.small,
+                             smooth_surface=True)
     base = tempfile.mkdtemp()
     t0 = time.time()
     # pose_scale tames the random-VPoser poses to the mild-contact regime

@@ -63,6 +63,9 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from lemo_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # the production CLI config (main_slide)
     import jax.numpy as jnp  # noqa: F401
 
     from lemo_tpu.body_model import load_model
@@ -183,8 +186,14 @@ def main(argv=None):
             split = {k: (round(v, 1) if isinstance(v, float) else v)
                      for k, v in drv.LAST_PARALLEL_TIMINGS.items()}
             out[mode]["split"] = split
-            # Amdahl: only the mesh-sharded device programs divide by 8
+            # Amdahl: only the mesh-sharded device programs divide by 8;
+            # XLA compile neither shards nor repeats once the persistent
+            # compilation cache is warm -> report cold AND cache-warm
+            comp = split.get("compile_s", 0.0)
             out[mode]["v5e8_projection_min"] = round(
+                (split["shardable_s"] / 8 + split["unshardable_s"]
+                 + comp) / 60, 2)
+            out[mode]["v5e8_projection_cachewarm_min"] = round(
                 (split["shardable_s"] / 8 + split["unshardable_s"]) / 60,
                 2)
         if mode in ("par", "par_high"):

@@ -75,6 +75,8 @@ def main(argv=None):
     ap.add_argument("--n_occ", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--asset", default=osp.join(ASSETS, "infill_ae.npz"),
+                    help="AE weights npz to evaluate")
     ap.add_argument("--out", default=osp.join(ASSETS,
                                               "infill_ae_eval.json"))
     args = ap.parse_args(argv)
@@ -93,7 +95,7 @@ def main(argv=None):
     from lemo_tpu.testing.synthetic import (write_amass_dataset,
                                             write_smplx_model_dir)
 
-    ae = load_state_dict_npz(osp.join(ASSETS, "infill_ae.npz"))
+    ae = load_state_dict_npz(args.asset)
     stats = Local4ChanStats.load(osp.join(ASSETS, "infill_stats.npz"))
 
     # held-out corpus: seeds disjoint from the training generator's
@@ -155,6 +157,7 @@ def main(argv=None):
            for k in rows[0] if k.endswith("_mm")}
     out = {
         "protocol": {
+            "asset": args.asset,
             "corpus": "held-out synthetic (fresh seeds, same generator "
                       "family as training)",
             "clips": len(rows),

@@ -116,7 +116,10 @@ class TestDepthCandidates:
         S = ds.load_window(0)["scan"].shape[1]
         cfg_full = dataclasses.replace(
             cfg, output_folder=tempfile.mkdtemp(),
-            depth_candidates=max(S, V))
+            depth_candidates=max(S, V),
+            # bit-parity check: frozen visibility intentionally diverges
+            # from the per-step z-buffer once the body moves
+            depth_frozen_visibility=False)
         res_cand = run_prox_fitting(cfg_full, assets, max_windows=1,
                                     verbose=False)[0]
         np.testing.assert_allclose(
@@ -155,8 +158,11 @@ class TestDepthCandidates:
         the stage-0 solution, so the energy is exact at BOTH stages' warm
         starts."""
         cfg, assets, _ = _setup(depth_candidates=512)
+        # live visibility: this test pins the stage-refresh mechanism
+        # against the exact fit; frozen visibility is a separate,
+        # intentionally-approximate lever (legitimately ~4% off here)
         two_stage = dict(s2m_weights=[5e2, 5e2], m2s_weights=[1.0, 1.0],
-                         maxiters=4)
+                         maxiters=4, depth_frozen_visibility=False)
         cfg_on = dataclasses.replace(
             cfg, output_folder=tempfile.mkdtemp(), **two_stage)
         cfg_off = dataclasses.replace(
