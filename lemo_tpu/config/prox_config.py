@@ -180,6 +180,11 @@ class ProxConfig:
     # motion infill
     use_motion_infill_prior: bool = False
     use_motion_infill: bool = False
+    # per-window self-supervised AE finetune steps of the infill
+    # pre-pass (the reference hardcodes 60, fitting_temp_slide.py:861);
+    # ~0.5 TFLOP of conv fwd+bwd per window-step, so CPU smoke runs and
+    # the multichip dryrun turn it down
+    infill_finetune_steps: int = 60
     AE_infill_path: str = ""
     # 4-channel local-marker stats for the infill prior; empty = the
     # stats npz shipped next to the AE asset (driver.load_assets)

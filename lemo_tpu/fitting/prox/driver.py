@@ -811,7 +811,9 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
         # explicit AOT compile so the one-time XLA compile is split from
         # the sharded run (the compile neither shards nor repeats under
         # the persistent compilation cache)
-        prepass_fn = make_batched_prepass(assets.infill_stats)
+        prepass_fn = make_batched_prepass(
+            assets.infill_stats,
+            finetune_steps=int(getattr(cfg, "infill_finetune_steps", 60)))
         t_c = time.time()
         compiled = prepass_fn.lower(
             assets.infill_ae_params, mv67, mj, masks_j).compile()
@@ -1180,7 +1182,9 @@ def _fit_windows_sequential(cfg, assets, rec, ds, jw, mapper, weights,
             mv67, mj = warm_world_markers(warm)
             infill_result = run_infill_prepass(
                 assets.infill_ae_params, mv67, mj,
-                jnp.asarray(wd["marker_mask"]), assets.infill_stats)
+                jnp.asarray(wd["marker_mask"]), assets.infill_stats,
+                finetune_steps=int(getattr(cfg, "infill_finetune_steps",
+                                           60)))
 
         # one full maxiters run per weight stage, the optimizer re-created
         # each stage and the next stage warm-started from the previous

@@ -450,6 +450,11 @@ def make_batched_window_fitter(
                     [erase_n, jnp.full((W_pad - W,), T, erase_n.dtype)])
         else:
             erase_n = jnp.where(first_mask_p, 0, int(T * overlap_frac))
+        # normalize dtype/weak-type: a weak-typed jnp.where result vs a
+        # strongly-typed override array would miss the jit cache and
+        # retrace the whole chunk program (measured 120 s on the first
+        # polish round)
+        erase_n = erase_n.astype(jnp.int32)
         opt_state = (opt.init(opt_vars) if impl == "fold"
                      else jax.vmap(opt.init)(opt_vars))
         if mesh is not None:
@@ -481,6 +486,7 @@ def make_batched_window_fitter(
                        if hasattr(v, "shape")}
         return opt_vars, betas[:W], losses, final_terms
 
+    fit.run_chunk_v = run_chunk_v  # exposed so tests can pin cache size
     return fit
 
 

@@ -39,6 +39,11 @@ def main(argv=None):
                          "cand_livevis (per-step z-buffer), exact")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for a smoke run)")
+    # two-point steady-state measurement (scripts/_ab_common.py): per
+    # mode, "m1,m2" timed runs after a warmup run; compile + pre-pass
+    # cancel in the difference. Overrides --maxiters when set.
+    ap.add_argument("--steady", default="",
+                    help="m1,m2 two-point measurement for every mode")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -123,6 +128,35 @@ def main(argv=None):
            "depth_candidates": args.depth_candidates,
            "device": str(jax.devices()[0])}
     for mode in args.modes.split(","):
+        if args.steady:
+            from _ab_common import measure_steady
+
+            m1, m2 = (int(x) for x in args.steady.split(","))
+
+            def run(m, _mode=mode):
+                c = cfg_for(_mode)
+                import dataclasses as dc
+                c = dc.replace(c, maxiters=m,
+                               output_folder=tempfile.mkdtemp())
+                return run_prox_fitting(c, assets, max_windows=1,
+                                        verbose=False)
+            metrics, res = measure_steady(run, m1, m2, warmup=50)
+            th = res[0].term_history or {}
+            metrics.update(
+                final_loss=round(float(res[0].final_loss), 4),
+                final_s2m=float(np.asarray(th.get("s2m_dist",
+                                                  [np.nan]))[-1]),
+                final_m2s=float(np.asarray(th.get("m2s_dist",
+                                                  [np.nan]))[-1]))
+            if mode.startswith("cand"):
+                metrics["audit"] = audit_exactness(res, cfg_for(mode))
+                print(f"[audit] {metrics['audit']}", flush=True)
+            out[mode] = metrics
+            print(f"[{mode}] steady "
+                  f"{metrics['steady_ms_per_step']:.0f} ms/step (fixed "
+                  f"{metrics['fixed_cost_s']:.0f}s), final loss "
+                  f"{metrics['final_loss']:.4f}", flush=True)
+            continue
         cfg = cfg_for(mode)
         t0 = time.time()
         res = run_prox_fitting(cfg, assets, max_windows=1, verbose=False)
@@ -144,8 +178,9 @@ def main(argv=None):
               flush=True)
 
     if "cand" in out and "exact" in out:
-        out["speedup"] = round(
-            out["exact"]["wall_s"] / out["cand"]["wall_s"], 2)
+        rate = lambda m: m.get("steady_ms_per_step",  # noqa: E731
+                               m.get("ms_per_step"))
+        out["speedup"] = round(rate(out["exact"]) / rate(out["cand"]), 2)
         print(f"candidate speedup: {out['speedup']}x", flush=True)
     if args.out:
         with open(args.out, "w") as fh:

@@ -131,6 +131,12 @@ def main(argv=None):
         res0 = run_infill_prepass(ae, jnp.asarray(markers), joints25,
                                   jnp.asarray(mask), stats,
                                   finetune_steps=0)
+        # decode-path floor: NOTHING occluded — the reconstruction error
+        # of the full image -> AE -> world pipeline on fully visible
+        # input bounds what any occlusion fill through it can achieve
+        res_floor = run_infill_prepass(
+            ae, jnp.asarray(markers), joints25,
+            jnp.asarray(np.ones_like(mask)), stats)
         zv = _zero_velocity_fill(markers, mask)[:T - 1]
 
         gt = markers[:T - 1]
@@ -141,16 +147,20 @@ def main(argv=None):
         e_ae = occ_err(res.targets_world)
         e_ae0 = occ_err(res0.targets_world)
         e_zv = occ_err(zv)
+        e_floor = np.linalg.norm(
+            np.asarray(res_floor.targets_world) - gt, axis=-1)
         rows.append({"clip": ci,
                      "occluded_entries": int(occ.sum()),
                      "ae_mean_mm": float(e_ae.mean() * 1000),
                      "ae_p95_mm": float(np.percentile(e_ae, 95) * 1000),
                      "ae_nofinetune_mean_mm": float(e_ae0.mean() * 1000),
+                     "decode_floor_mean_mm": float(e_floor.mean() * 1000),
                      "zerovel_mean_mm": float(e_zv.mean() * 1000),
                      "zerovel_p95_mm": float(
                          np.percentile(e_zv, 95) * 1000)})
         print(f"  clip {ci}: AE {rows[-1]['ae_mean_mm']:.1f} mm "
-              f"(no-ft {rows[-1]['ae_nofinetune_mean_mm']:.1f}) vs "
+              f"(no-ft {rows[-1]['ae_nofinetune_mean_mm']:.1f}, floor "
+              f"{rows[-1]['decode_floor_mean_mm']:.1f}) vs "
               f"zero-vel {rows[-1]['zerovel_mean_mm']:.1f} mm", flush=True)
 
     agg = {k: float(np.mean([r[k] for r in rows]))
@@ -174,7 +184,8 @@ def main(argv=None):
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"[DONE] AE {agg['ae_mean_mm']:.1f} mm "
-          f"(no-finetune {agg['ae_nofinetune_mean_mm']:.1f} mm) vs "
+          f"(no-finetune {agg['ae_nofinetune_mean_mm']:.1f} mm, "
+          f"decode floor {agg['decode_floor_mean_mm']:.1f} mm) vs "
           f"zero-velocity {agg['zerovel_mean_mm']:.1f} mm "
           f"-> {args.out}")
     return 0

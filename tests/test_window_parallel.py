@@ -278,3 +278,66 @@ def test_sequential_polish_term_history_concat():
         for k, v in r.term_history.items():
             assert v.shape[0] == n_stages + polish, (k, v.shape)
         assert len(r.loss_history) == maxiters + polish
+
+
+def test_polish_override_hits_chunk_cache():
+    """The Jacobi polish rounds must reuse the main fit's compiled chunk
+    program: a dtype/weak-type mismatch between the derived erase_n and
+    the override array caused a silent 120 s retrace on the first polish
+    round (fixed by normalizing to strong int32)."""
+    from lemo_tpu.body_model.vertex_ids import smpl_to_openpose
+    from lemo_tpu.data.prox import ProxRecording, ProxWindowDataset
+    from lemo_tpu.fitting.prox.driver import (build_window_static,
+                                              weights_from_config)
+    from lemo_tpu.fitting.prox.window import make_batched_window_fitter
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    base = tempfile.mkdtemp()
+    info = write_synthetic_prox_recording(base, num_frames=40, seed=29,
+                                          write_depth=False)
+    model = load_model(info["model_dict"], use_pca=True, num_pca_comps=12)
+    cfg = ProxConfig(
+        recording_dir=info["recording_dir"],
+        output_folder=tempfile.mkdtemp(),
+        batch_size=16, maxiters=4, lr=0.005, flip=False,
+        s2m=False, m2s=False, read_depth=False, read_mask=False,
+        sdf_penetration=False, use_friction=False,
+        use_motion_smooth_prior=False, interpenetration=False,
+        contact=False, use_motion_infill_prior=False,
+    )
+    assets = ProxAssets(model=model, vposer_params=info["vposer_params"])
+    rec = ProxRecording.from_recording_dir(cfg.recording_dir)
+    ds = ProxWindowDataset(rec, output_params_dir=tempfile.mkdtemp(),
+                           batch_size=cfg.batch_size, flip=False,
+                           read_depth=False, read_mask=False)
+    W = min(2, len(ds.windows))
+    window_data = [ds.load_window(i) for i in range(W)]
+    statics = [build_window_static(cfg, assets, rec, wd,
+                                   ds.joint_weights())
+               for wd in window_data]
+    from lemo_tpu.fitting.prox.losses import PER_WINDOW_FIELDS
+    batch_kw = {}
+    for f in dc.fields(statics[0].__class__):
+        vals = [getattr(s, f.name) for s in statics]
+        batch_kw[f.name] = (jnp.stack(vals)
+                            if f.name in PER_WINDOW_FIELDS
+                            and vals[0] is not None else vals[0])
+    static_batch = statics[0].__class__(**batch_kw)
+    warm = {k: jnp.stack([jnp.asarray(wd["warm_start"][k])
+                          for wd in window_data])
+            for k in window_data[0]["warm_start"]}
+    first_mask = jnp.asarray([i == 0 for i in range(W)])
+    fitter = make_batched_window_fitter(
+        model, assets.vposer_params,
+        smpl_to_openpose(cfg.model_type, cfg.use_hands, cfg.use_face,
+                         cfg.use_face_contour),
+        statics[0], weights_from_config(cfg), maxiters=4, lr=0.005)
+    fitter(static_batch, warm, first_mask)
+    n_compiled = fitter.run_chunk_v._cache_size()
+    # jacobi-polish style call: explicit erase override, same shapes
+    erase = np.full((W,), int(16 * 0.15), np.int32)
+    erase[0] = 16
+    fitter(static_batch, warm, first_mask, maxiters_override=4,
+           erase_override=erase)
+    assert fitter.run_chunk_v._cache_size() == n_compiled
