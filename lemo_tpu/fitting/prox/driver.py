@@ -217,8 +217,9 @@ _PREPASS_JIT_CACHE: dict = {}
 
 
 def _cached_prepass_fns(cfg: ProxConfig, assets: ProxAssets):
-    """(warm_verts(warm) -> [T, V, 3], min_sdf(warm, R, t, sdf, gmin,
-    gmax) -> [V]) — both jitted once per assets object."""
+    """(warm_verts(warm) -> [T, V, 3], min_sdf(warm, ...) -> [V],
+    min_sdf_batched(warm_stack, ...) -> [W, V]) — each jitted once per
+    assets object."""
     import jax
 
     key = (id(assets), bool(cfg.use_vposer))
@@ -247,7 +248,9 @@ def _cached_prepass_fns(cfg: ProxConfig, assets: ProxAssets):
                                 grid_max, crop=None)
         return vals.reshape(vw.shape[0], -1).min(axis=0)
 
-    fns = (jax.jit(verts_of), jax.jit(min_sdf_of))
+    fns = (jax.jit(verts_of), jax.jit(min_sdf_of),
+           jax.jit(jax.vmap(min_sdf_of,
+                            in_axes=(0, None, None, None, None, None))))
     _PREPASS_JIT_CACHE[key] = fns
     if len(_PREPASS_JIT_CACHE) > 4:
         _PREPASS_JIT_CACHE.pop(next(iter(_PREPASS_JIT_CACHE)))
@@ -265,7 +268,7 @@ def _sdf_candidate_ids(cfg: ProxConfig, assets: ProxAssets, warm: dict,
     vertices are inside the margin the nearest/deepest win; if fewer, the
     set is padded with the next-nearest vertices (harmless extra
     samples)."""
-    _, min_sdf_of = _cached_prepass_fns(cfg, assets)
+    _, min_sdf_of, _ = _cached_prepass_fns(cfg, assets)
     warm_j = {k: jnp.asarray(v) for k, v in warm.items()}
     min_sdf = np.asarray(min_sdf_of(warm_j, jnp.asarray(R),
                                     jnp.asarray(t), sdf, grid_min,
@@ -286,7 +289,7 @@ def _warm_start_vertices(cfg: ProxConfig, assets: ProxAssets,
                          warm: dict) -> jnp.ndarray:
     """Body vertices (cam coords) of the warm-start parameters — the
     stop-gradient geometry both candidate pre-passes sample."""
-    verts_of, _ = _cached_prepass_fns(cfg, assets)
+    verts_of, _, _ = _cached_prepass_fns(cfg, assets)
     return verts_of({k: jnp.asarray(v) for k, v in warm.items()})
 
 
@@ -480,17 +483,18 @@ def _depth_candidate_data(cfg: ProxConfig, assets: ProxAssets, warm: dict,
 
 
 def _candidate_updates(cfg: ProxConfig, assets: ProxAssets, warm: dict,
-                       st: ProxStatic, with_coll: bool = True) -> dict:
+                       st: ProxStatic, with_coll: bool = True,
+                       with_sdf: bool = True) -> dict:
     """Recompute the candidate-dependent ProxStatic fields from a warm
     start. Shared by the initial window build and the stage-boundary
     refresh (cfg.candidates_refresh_stages) — multi-stage fits would
     otherwise hold stage-0 candidate sets through every stage.
 
-    with_coll=False skips the self-intersection set (the window-parallel
-    driver computes it separately so K can be harmonized across windows,
+    with_coll/with_sdf=False skip those sets (the window-parallel driver
+    computes them batched across windows instead,
     :func:`_apply_candidates_batch`)."""
     upd: dict = {}
-    if (cfg.sdf_penetration and st.sdf is not None
+    if (with_sdf and cfg.sdf_penetration and st.sdf is not None
             and getattr(cfg, "sdf_candidates", 0) > 0):
         ids = _sdf_candidate_ids(cfg, assets, warm, st.R, st.t, st.sdf,
                                  st.grid_min, st.grid_max)
@@ -531,11 +535,39 @@ def _apply_candidates_batch(cfg: ProxConfig, assets: ProxAssets,
                          assets.model.faces.shape[0])
         coll_ids = [jnp.asarray(_coll_ids_from_scores(s, K))
                     for s in scores_all]
+    # sdf candidates batched: ONE vmapped forward+SDF dispatch for all
+    # windows instead of W sequential ones (the per-window loop was a
+    # measurable share of the window-parallel host floor)
+    sdf_ids = None
+    st0 = statics[0]
+    if (cfg.sdf_penetration and st0.sdf is not None
+            and getattr(cfg, "sdf_candidates", 0) > 0):
+        import warnings
+
+        _, _, min_sdf_batched = _cached_prepass_fns(cfg, assets)
+        warm_stack = {k: jnp.stack([jnp.asarray(w[k]) for w in warms])
+                      for k in warms[0]}
+        min_sdf = np.asarray(min_sdf_batched(
+            warm_stack, st0.R, st0.t, st0.sdf, st0.grid_min,
+            st0.grid_max))                                  # [W, V]
+        K = min(int(cfg.sdf_candidates), assets.model.num_verts)
+        n_close = int((min_sdf < cfg.sdf_candidates_margin)
+                      .sum(axis=1).max())
+        if n_close > K:
+            warnings.warn(
+                f"sdf_candidates={K} < {n_close} vertices within "
+                f"{cfg.sdf_candidates_margin} m of the scene at warm "
+                "start; raise sdf_candidates or the term may miss "
+                "penetrations")
+        sdf_ids = np.argsort(min_sdf, axis=1)[:, :K].astype(np.int32)
     out = []
     for i, (warm, st) in enumerate(zip(warms, statics)):
-        upd = _candidate_updates(cfg, assets, warm, st, with_coll=False)
+        upd = _candidate_updates(cfg, assets, warm, st, with_coll=False,
+                                 with_sdf=False)
         if need_coll:
             upd["coll_candidate_ids"] = coll_ids[i]
+        if sdf_ids is not None:
+            upd["sdf_candidate_ids"] = jnp.asarray(sdf_ids[i])
         out.append(dataclasses.replace(st, **upd) if upd else st)
     return out
 
@@ -1042,11 +1074,18 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
             term_history={k: np.asarray(v)
                           for k, v in term_hists[widx].items()},
         )
-        save_window_pkls(result, window_data[widx]["fns"], result_folder,
-                         camera_params=_CAMERA_PKL_PARAMS)
-        if save_extras is not None:
-            save_extras(window_data[widx]["fns"], result)
         results.append(result)
+    # pkl writes threaded over windows (2000 files; pickle+write release
+    # the GIL) — save_extras (mesh/render IO) stays sequential
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(
+            lambda wr: save_window_pkls(
+                wr[1], window_data[wr[0]]["fns"], result_folder,
+                camera_params=_CAMERA_PKL_PARAMS),
+            enumerate(results)))
+    if save_extras is not None:
+        for widx, result in enumerate(results):
+            save_extras(window_data[widx]["fns"], result)
     timings["save_s"] = time.time() - tsec
     timings["total_s"] = time.time() - t0
     timings["polish_mode"] = polish_mode if polish > 0 else "off"
