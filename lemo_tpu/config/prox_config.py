@@ -247,6 +247,9 @@ class ProxConfig:
     # Gauss-Seidel chain (window w re-fit after w-1, exactly the
     # reference's window order) — unshardable, kept for parity checks.
     window_polish_mode: str = "jacobi"
+    # jacobi rounds; every round runs at least one compiled optimizer
+    # chunk (min(steps_per_dispatch, maxiters) steps), so the driver
+    # clamps the count to keep TOTAL polish at window_polish_iters
     window_polish_rounds: int = 3
     # grow coll_candidates automatically when the warm-start pre-pass
     # finds more FIRING faces than K (rounded up to a tile multiple), so

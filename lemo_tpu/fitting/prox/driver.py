@@ -968,7 +968,14 @@ def _run_window_parallel(cfg, assets, rec, ds, jw, mapper, weights,
         # re-fits it; each round propagates stitching one window
         # downstream, and windows barely move during polish, so 2-3
         # rounds recover the sequential semantics (tested).
-        rounds = max(1, int(getattr(cfg, "window_polish_rounds", 3)))
+        # each round executes at least one compiled optimizer chunk
+        # (min(steps_per_dispatch, maxiters) steps — the unit the fitter
+        # compiled); clamp the round count so the TOTAL polish stays at
+        # the configured budget instead of silently tripling it when
+        # window_polish_iters <= the chunk size
+        chunk = min(max(int(cfg.steps_per_dispatch), 1), cfg.maxiters)
+        rounds = max(1, min(int(getattr(cfg, "window_polish_rounds", 3)),
+                            polish // chunk if polish >= chunk else 1))
         iters_per_round = max(1, polish // rounds)
         erase = np.full((n_windows,), erase_head, np.int32)
         erase[0] = T

@@ -218,15 +218,18 @@ def test_jacobi_polish_histories_and_handoff():
     assert len(res) == 3
 
     # per-round chunking: the fitter's compiled chunk is
-    # min(steps_per_dispatch, maxiters); an override below it still runs
-    # one whole chunk
+    # min(steps_per_dispatch, maxiters) and every round runs at least
+    # one chunk, so the driver clamps the round count to the configured
+    # polish budget (here polish=6 < chunk=10 -> 1 round of one chunk)
     chunk = min(cfg.steps_per_dispatch, maxiters)
-    round_len = -(-max(1, polish // rounds) // chunk) * chunk
+    rounds_eff = max(1, min(rounds,
+                            polish // chunk if polish >= chunk else 1))
+    round_len = -(-max(1, polish // rounds_eff) // chunk) * chunk
     n_stages = cfg.n_stages
     for r in res:
-        assert len(r.loss_history) == maxiters + rounds * round_len
+        assert len(r.loss_history) == maxiters + rounds_eff * round_len
         for k, v in r.term_history.items():
-            assert v.shape[0] == n_stages + rounds, (k, v.shape)
+            assert v.shape[0] == n_stages + rounds_eff, (k, v.shape)
         assert np.isfinite(r.final_loss)
 
     # final head hand-off: window w's frozen head == window w-1's tail
